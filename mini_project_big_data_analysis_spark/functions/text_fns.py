@@ -1,0 +1,112 @@
+"""Text-analysis column functions (training-data pipeline layer).
+
+Not present in the reference (its only text handling is a description-string
+passthrough, consumer.py:45); these are the north-star text operators:
+language-ID, quality scoring, token counting, fingerprinting. All built-ins —
+pure Catalyst expressions, whole-stage-codegen friendly, no Python UDFs —
+so they run at scan speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
+# Deliberately small: language ID at pipeline scale is a cheap prefilter, not
+# a model. Tokens must be lowercase single words.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "en", "por"),
+}
+
+#: BPE-ish token pattern: word pieces, digit runs, or single punctuation.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_tokens(text: Column | str) -> Column:
+    """Whitespace tokenization — the unit for jaccard/shingles/ratios."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(text))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token count: counts word/digit/punct pieces via regexp_count —
+    a codegen'd native expression, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(TOKEN_REGEX))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    toks = whitespace_tokens(text)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, F.lower(t))))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars."""
+    c = F.col(text) if isinstance(text, str) else text
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return punct / F.greatest(F.length(c), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality score in [0, 1]: rewards reasonable length,
+    low punctuation density, and presence of common-word glue. The exact
+    blend is a heuristic; what matters is it is a pure column expression.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c).cast("double")
+    length_term = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(c, "en") * 5.0, F.lit(1.0))
+    return F.round((length_term + punct_term + stop_term) / 3.0, 6)
+
+
+def language_id(text: Column | str) -> Column:
+    """Heuristic language ID: the language whose stopword-hit-rate is highest;
+    'und' (undetermined) when nothing hits. Scales as a single projection.
+    """
+    scores = [(lang, stopword_ratio(text, lang)) for lang in STOPWORDS]
+    # greatest-of via chained when(): deterministic tie-break by dict order.
+    best_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, score in reversed(scores):
+        expr = F.when((best_score > 0) & (score == best_score), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of casefolded, punctuation-stripped,
+    whitespace-collapsed text. Two docs with the same fingerprint are
+    duplicates up to formatting — the cheap first pass of a dedup pipeline.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^\w\s]", " "), r"\s+", " ")
+    )
+    return F.md5(normalized)
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles as an array<string> — the unit for MinHash/Jaccard.
+
+    Expressed with sequence+transform over the token array (no explode at
+    this layer, so callers control when the row-multiplying explode happens).
+    """
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]),
+    )

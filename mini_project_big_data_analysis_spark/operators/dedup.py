@@ -1,0 +1,286 @@
+"""Deduplication operators (north-star extension, SURVEY.md §2.9).
+
+Four tiers, cheapest first — a real 100 TB dedup pipeline runs them as a
+funnel so each stage only sees what the previous one couldn't kill:
+
+1. exact        — hash groupBy on the raw column. One shuffle.
+2. fingerprint  — exact after normalization (case/punct/whitespace).
+3. minhash LSH  — near-dup candidates via banded MinHash over word shingles,
+                  verified with exact Jaccard. Pure DataFrame ops; the only
+                  row-multiplying step is the shingle explode, and every
+                  shuffle is on doc_id or a band bucket key (never all-pairs).
+4. simhash      — 64-bit simhash (Arrow-batched pandas_udf), candidates from
+                  16-bit band equality, verified by Hamming distance.
+
+Embedding-space near-dup lives in similarity.py (same blocking machinery as
+ANN search).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..functions.text_fns import normalized_fingerprint, word_shingles
+
+
+def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one representative row (min id — deterministic, unlike
+    dropDuplicates) per distinct key tuple, plus the multiplicity.
+
+    Single hash-aggregate shuffle on ``keys``; partial aggregation happens
+    map-side so only (key, min, count) triples cross the wire.
+    """
+    return df.groupBy(*keys).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Format-insensitive exact dedup: group by md5(normalized text)."""
+    with_fp = df.withColumn("fingerprint", normalized_fingerprint(text_col))
+    return with_fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def _minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_k: int
+) -> DataFrame:
+    """(id, signature array<bigint>) via min-over-shingles of seeded xxhash64.
+
+    One explode (rows × shingles) then one groupBy(id) computing all
+    ``num_hashes`` mins in a single aggregate — NOT num_hashes passes.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("shingle")
+    )
+    min_cols = [
+        F.min(F.xxhash64(F.concat(F.lit(f"seed{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = shingled.groupBy(id_col).agg(*min_cols)
+    return sigs.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH, Jaccard-verified.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+
+    Scale shape: signatures table is 1 row/doc; banding explodes it ×bands
+    (still 1 row per doc-band); the bucket self-join only pairs docs sharing
+    a band hash, so the shuffle is on (band, band_hash) — never O(n²).
+    Exact-Jaccard verification joins shingle sets only for candidate pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = _minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+
+    band_entries = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    candidates = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    return _verify_jaccard(df, candidates, id_col, text_col, shingle_k, jaccard_threshold)
+
+
+def _verify_jaccard(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard over distinct word-shingle sets for candidate pairs."""
+    shingle_sets = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_k)).alias("shingles")
+    )
+    sa = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_words: int = 8,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """n-gram Jaccard dedup with deterministic prefix blocking.
+
+    Blocking key = first ``block_words`` whitespace tokens. SQL-expressible
+    end-to-end (oracle-checkable), and a reasonable scale shape: the
+    self-join shuffles on the block key, not all pairs. Complements MinHash
+    (which catches dups whose *prefix* differs).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    keyed = df.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.slice(toks, 1, block_words)).alias("block_key"),
+        F.array_distinct(toks).alias("words"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.block_key") == F.col("b.block_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .withColumn("inter", F.size(F.array_intersect("a.words", "b.words")).cast("double"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.size("a.words") + F.size("b.words") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (pandas_udf — hashing 64 bit-planes is genuinely cheaper in numpy
+# than as 64 Catalyst aggregates; Arrow batches keep the transfer columnar).
+# --------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts):  # type: ignore[no-untyped-def]
+    """64-bit SimHash of whitespace tokens, deterministic (md5-based)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def one(text: str) -> int:
+        if not text:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            bits = (h >> np.arange(64)) & 1
+            acc += np.where(bits == 1, 1, -1)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        # map to signed int64
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    return pd.Series([one(t) for t in texts])
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidates via the pigeonhole trick: split the 64-bit hash into 4
+    16-bit chunks; any pair within Hamming 3 must agree on ≥1 chunk, so the
+    self-join shuffles on (chunk_idx, chunk_value) buckets only.
+    """
+    hashed = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    chunks = hashed.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk")
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two paths:
+
+- ``cosine_topk`` — brute force: broadcast the (tiny) query vector set,
+  compute cosine with codegen'd higher-order functions, TakeOrderedAndProject
+  top-k. Exact; the right answer up to ~10⁷ candidates per executor-pass.
+- ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH signature
+  (deterministic seed) assigns every vector to a bucket; search touches only
+  buckets matching the query signature (optionally within Hamming radius).
+  Recall < 1.0 by construction; bucket count and radius trade recall for
+  scan fraction. At 100 TB, bucket becomes a parquet partition key so a
+  query prunes partitions instead of scanning the corpus.
+
+Embedding-space near-dup (``embedding_near_dup_pairs``) reuses the blocking
+idea: only pairs sharing a bucket (or an explicit block key) are compared.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.vector_fns import cosine, dot, l2_normalize
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``query`` is expected to be small (it is broadcast); ties broken by id
+    so results are deterministic. ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — no global sort materializes.
+    """
+    q = F.broadcast(query.select(F.col(query_id_col), F.col(vec_col).alias("qvec")))
+    scored = (
+        vectors.join(q, on=vectors[id_col] != q[query_id_col])
+        .withColumn("cosine_sim", F.round(cosine(vec_col, "qvec"), 6))
+        .select(query_id_col, id_col, "cosine_sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (public trick: Charikar's SimHash
+    for cosine; seeded so plans are reproducible across runs/executors)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def add_lsh_bucket(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Assign each vector a 2^n_planes-ary bucket = sign pattern against
+    ``n_planes`` random hyperplanes. Pure column expressions: the dot
+    product against each (literal) hyperplane is a codegen loop; the bucket
+    id is a bit-packed int usable as a partition / cluster key.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot(F.col(vec_col), plane_col) > 0).cast("int")
+        bucket = bucket + F.shiftleft(bit, i)
+    return vectors.withColumn(out_col, bucket)
+
+
+def lsh_bucketed_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The join is an equi-join on bucket id — shuffle on a small int key,
+    partition-prunable if the corpus is written bucketed. Recall depends on
+    n_planes; callers needing higher recall probe multiple buckets (Hamming
+    ≤ 1 neighborhood) — deliberately not the default, to keep the scan
+    fraction 1/2^n_planes.
+    """
+    bucketed = add_lsh_bucket(vectors, dim, n_planes, vec_col, seed)
+    qb = add_lsh_bucket(
+        query.select(F.col(query_id_col), F.col(vec_col).alias("qvec")),
+        dim,
+        n_planes,
+        "qvec",
+        seed,
+    )
+    scored = (
+        bucketed.join(F.broadcast(qb), on="lsh_bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine_sim", F.round(cosine(vec_col, "qvec"), 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    block_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold, compared only within blocks.
+
+    ``block_col=None`` uses LSH buckets as blocks (the scale default, needs
+    ``dim``); an explicit column (e.g. a label or shard key) makes the
+    operator exact-within-block and SQL-mirrorable for the oracle.
+    """
+    if block_col is None:
+        if dim is None:
+            raise ValueError("dim required for LSH blocking")
+        vectors = add_lsh_bucket(vectors, dim, n_planes, vec_col, seed)
+        block_col = "lsh_bucket"
+    a = vectors.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = vectors.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    return (
+        a.join(b, on=["block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine("vec_a", "vec_b"), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

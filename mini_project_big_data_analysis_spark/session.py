@@ -1,0 +1,78 @@
+"""SparkSession construction.
+
+Pinned semantics (SURVEY.md §7 step 0):
+
+- ``spark.sql.session.timeZone=UTC`` — the reference handles local time by
+  adding an explicit per-row offset to a UTC base (consumer.py:59-61); the
+  engine therefore treats every timestamp as UTC and models offsets as
+  intervals. This also keeps the DuckDB oracle (UTC by default) comparable.
+- AQE on — runtime partition coalescing, skew-join splitting and join
+  strategy switching are the 100 TB posture (SURVEY.md §4.4).
+- Arrow on — all pandas_udf / applyInPandas paths batch via Arrow.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "mini-project-big-data-analysis-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the same entry point serves tests (local[2]) and bench (local[32]).
+    On a real cluster the caller passes no master and spark-submit decides.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Partitions sized for executor memory at scale (SURVEY.md §4.4);
+        # 128 MiB is the parquet-friendly default and what we'd ship at 100 TB.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable semantics to a session we did not
+    build (the driver hands ``entry()``/``queries()`` an existing session).
+
+    Only runtime-mutable confs belong here: timezone and AQE are settable on
+    a live session; memory/master are not.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:  # pragma: no cover - conf may be fixed in some harnesses
+        pass
+    return spark

@@ -1,0 +1,44 @@
+"""Batch sinks.
+
+The reference writes row-at-a-time (``insert_one`` consumer.py:78, per-message
+``flush()`` producer.py:41). The engine's sinks are bulk, partitioned writes;
+at scale the same code writes a partitioned table instead of one directory.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def append_parquet(df: DataFrame, path: str) -> None:
+    """Bulk append (vs consumer.py:78's insert_one-per-record). On a real
+    deployment this is ``partitionBy(date)`` into a table location; the
+    append mode + idempotent task commit is what replaces Mongo upserts.
+    """
+    df.write.mode("append").parquet(path)
+
+
+def json_roundtrip(df: DataFrame, schema_ddl: str) -> DataFrame:
+    """Serialize whole rows to JSON and parse them back (the Kafka value
+    round-trip: producer.py:27-30 serializer + consumer.py:24 deserializer).
+
+    ``to_json(struct(*))`` is exactly the producer's value_serializer;
+    ``from_json`` with an explicit schema is the consumer's typed read.
+    """
+    encoded = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return encoded.select(F.from_json("value", schema_ddl).alias("row")).select("row.*")
+
+
+def write_and_read_back(spark: SparkSession, df: DataFrame, subdir: str | None = None) -> DataFrame:
+    """Materialize through a parquet sink and scan the result — the testable
+    form of the append sink (round-trips encoding, stats, and partitioning).
+    """
+    base = os.path.join(tempfile.gettempdir(), "mpbda_spark_sink")
+    path = os.path.join(base, subdir or uuid.uuid4().hex)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

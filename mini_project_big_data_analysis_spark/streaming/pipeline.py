@@ -1,0 +1,113 @@
+"""Structured Streaming pipelines (SURVEY.md §2.8, §7 step 4).
+
+The reference's stream is Kafka→clean→Mongo with at-least-once semantics and
+no event-time handling (consumer.py:21-23: auto-commit, latest offsets, no
+watermark — restarts lose or duplicate data). The Spark mapping upgrades
+that for free:
+
+- checkpointed source offsets + idempotent ``foreachBatch`` sinks ⇒
+  effectively-exactly-once;
+- ``withWatermark`` on event time ⇒ bounded state under late/out-of-order
+  arrivals (the reference would silently mis-bucket them);
+- tumbling-window aggregation replaces the dashboard's full-rescan-every-5-
+  minutes recompute loop (app.py:80-84,101) with incremental state.
+
+Tests drive these with file-source streams over the driver's events parquet
+(Kafka isn't in the container); the DataFrame graph is source-agnostic — the
+same ``clean_event_stream``/``tumbling_agg`` compose onto
+``spark.readStream.format("kafka")`` unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's events table (Kafka stand-in).
+
+    ``maxFilesPerTrigger`` is left default; schema is explicit (streaming
+    file sources require it — and so does the 100 TB posture).
+    """
+    return (
+        spark.readStream.schema(EVENTS)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def clean_event_stream(stream: DataFrame) -> DataFrame:
+    """The consumer's clean/derive step (consumer.py:32-61) on a stream:
+    typed JSON props, completeness filter, event-time column. Narrow ops
+    only — stateless, no shuffle."""
+    return (
+        stream.withColumn("props_parsed", F.from_json("props", "k BIGINT"))
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .withColumn("event_time", F.col("ts"))
+    )
+
+
+def tumbling_agg(
+    clean: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window aggregate with watermark (SURVEY.md §2.8
+    stream_tumbling_agg): per (window, event_type) mean/min/max/count of
+    value. State is bounded by the watermark; output mode append emits a
+    window once the watermark passes it."""
+    return (
+        clean.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_duration), F.col("event_type"))
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "avg_value",
+            "min_value",
+            "max_value",
+            "n_events",
+        )
+    )
+
+
+def run_tumbling_agg_availablenow(
+    spark: SparkSession, sf_dir: str, window_duration: str = "1 hour"
+) -> DataFrame:
+    """Execute the streaming tumbling agg to completion over the static
+    events table (Trigger.AvailableNow → process everything, then stop) and
+    return the materialized result.
+
+    Real streaming machinery end-to-end: file source, watermark state,
+    memory sink, checkpointed progress. ``complete`` output mode so windows
+    never wait on a watermark that will not advance after the last file.
+    """
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
+    q = (
+        tumbling_agg(clean_event_stream(read_events_stream(spark, sf_dir)), window_duration)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -1,0 +1,49 @@
+"""Dev-loop differential check: run every registered query against its
+DuckDB oracle at the given scale factor and report pass/fail per id.
+
+Usage: python scripts/check_queries.py [sf_dir] [query_id ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+from tests.oracle import compare, duck_connection  # noqa: E402
+
+from mini_project_big_data_analysis_spark.queries import all_queries  # noqa: E402
+from mini_project_big_data_analysis_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duck_connection(sf_dir)
+    failures = []
+    for qid, q in sorted(all_queries().items()):
+        if only and qid not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = q.fn(spark, sf_dir)
+            if q.oracle is None:
+                n = df.count()
+                status, msg = n >= 0, f"rows-only: {n} rows"
+            else:
+                status, msg = compare(df, con, q.oracle)
+        except Exception:
+            status, msg = False, traceback.format_exc(limit=25)
+        dt = time.time() - t0
+        print(f"{'PASS' if status else 'FAIL'} {qid:36s} {dt:6.1f}s  {msg}")
+        if not status:
+            failures.append(qid)
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

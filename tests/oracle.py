@@ -1,0 +1,65 @@
+"""DuckDB differential-oracle harness mirroring the driver's comparison:
+row-count + schema-insensitive value comparison (order-insensitive).
+
+Used by tests and by the interactive dev loop: run the Spark query and the
+oracle SQL on the same parquet, canonicalize both (sort columns by name,
+round floats, stringify), and diff multisets of rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / ulp noise left after query-side rounding
+        return round(v, 9)
+    if isinstance(v, (int, str)):
+        return v
+    return str(v)
+
+
+def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        tuple(_canon_value(r[i]) for i in order) for r in rows
+    )
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = con.sql(sql)
+    d_cols = list(rel.columns)
+    d_rows = rel.fetchall()
+
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
+    cs, cd = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
+    if cs != cd:
+        diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:5]
+        return False, f"value mismatch; first diffs (spark, duck): {diffs}"
+    return True, f"ok ({len(s_rows)} rows)"
