@@ -42,8 +42,9 @@ def first_element_field(
     """``arr[0].field`` with a default when the array is empty/null
     (consumer.py:45 ``weather_list[0].get("description", "Unknown")``).
 
-    ``element_at(_, 1)`` is NULL-safe on empty arrays; ``coalesce`` applies
-    the default — no size() branch needed.
+    Uses ``F.get`` (0-indexed, returns NULL out-of-bounds) — NOT ``element_at``,
+    which under Spark 4's default ANSI mode throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    on an empty array. ``coalesce`` applies the default.
     """
     a = F.col(arr) if isinstance(arr, str) else arr
-    return F.coalesce(F.element_at(a, 1).getField(field), F.lit(default))
+    return F.coalesce(F.get(a, 0).getField(field), F.lit(default))

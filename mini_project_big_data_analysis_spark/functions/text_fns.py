@@ -102,11 +102,20 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
 
     Expressed with sequence+transform over the token array (no explode at
     this layer, so callers control when the row-multiplying explode happens).
+
+    Texts with fewer than ``k`` tokens yield an empty array: ``sequence(1, n-k+1)``
+    would *descend* when ``n < k`` (ANSI element_at then throws on index 0/past-end),
+    so the index range is guarded with ``when(n >= k, ...)`` and the lookups use
+    ``try_element_at`` as a second line of defense.
     """
     toks = whitespace_tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
     )

@@ -219,9 +219,11 @@ def simhash64(texts):  # type: ignore[no-untyped-def]
             return 0
         acc = np.zeros(64, dtype=np.int64)
         for tok in text.split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            bits = (h >> np.arange(64)) & 1
-            acc += np.where(bits == 1, 1, -1)
+            # shift in unsigned space: md5's top bit is set for ~50% of tokens
+            # and a Python int >= 2^63 breaks numpy's int64 right_shift.
+            h = np.frombuffer(hashlib.md5(tok.encode()).digest()[:8], dtype="<u8")[0]
+            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            acc += 2 * bits - 1
         out = 0
         for i in range(64):
             if acc[i] > 0:

@@ -68,13 +68,17 @@ def dim_lookup(
     executor once and the fact table never shuffles.
     """
     out = out_col or dim_value
-    joined = fact.join(
-        F.broadcast(dim.select(F.col(dim_key), F.col(dim_value))),
-        on=fact[fact_key] == dim[dim_key],
-        how="left",
+    # Alias the dim's columns before joining so a shared key name (city==city,
+    # the documented get_pulau shape) never collides: DataFrame.drop(name)
+    # removes ALL columns with that name, including the fact's.
+    d = dim.select(
+        F.col(dim_key).alias("__dim_key"), F.col(dim_value).alias("__dim_val")
     )
-    return joined.withColumn(out, F.coalesce(F.col(dim_value), F.lit(default))).drop(
-        dim_key, *( [dim_value] if dim_value != out else [] )
+    joined = fact.join(
+        F.broadcast(d), on=fact[fact_key] == d["__dim_key"], how="left"
+    )
+    return joined.withColumn(out, F.coalesce(F.col("__dim_val"), F.lit(default))).drop(
+        "__dim_key", "__dim_val"
     )
 
 
@@ -97,21 +101,27 @@ def describe_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     quartiles are approx — SURVEY.md §2.4 agg_describe note) and available
     via ``approx_quartiles``.
     """
-    per_col = [
-        df.agg(
-            F.lit(c).alias("column"),
-            F.count(F.col(c)).alias("n"),
-            F.round(F.avg(c), 6).alias("mean"),
-            F.round(F.stddev_samp(c), 6).alias("stddev"),
-            F.round(F.min(c).cast("double"), 6).alias("min"),
-            F.round(F.max(c).cast("double"), 6).alias("max"),
-        )
+    # ONE aggregate job over all columns (at 100 TB, one scan — not one per
+    # column), then a stack() unpivot of the single result row into long form.
+    aggs: list[Column] = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.round(F.avg(c), 6).alias(f"{c}__mean"),
+            F.round(F.stddev_samp(c), 6).alias(f"{c}__stddev"),
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__mean`, `{c}__stddev`, `{c}__min`, `{c}__max`"
         for c in cols
-    ]
-    out = per_col[0]
-    for other in per_col[1:]:
-        out = out.unionByName(other)
-    return out
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS (column, n, mean, stddev, min, max)"
+        )
+    )
 
 
 def approx_quartiles(df: DataFrame, col: str, accuracy: int = 10000) -> DataFrame:

@@ -32,19 +32,25 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
-    ``query`` is expected to be small (it is broadcast); ties broken by id
-    so results are deterministic. ``orderBy().limit(k)`` compiles to
-    TakeOrderedAndProject — no global sort materializes.
+    ``query`` is expected to be small: ``crossJoin(broadcast(q))`` streams the
+    corpus once past every query with no shuffle of the big side. Pass
+    ``exclude_self=True`` when queries are drawn from the corpus (same id
+    space) to drop the trivial self-match. Per-query ranking uses a Window
+    partitioned by query id — fine while #queries is small; with many queries
+    the partition count grows with them, so no single-partition skew.
+    Ties broken by id so results are deterministic.
     """
     q = F.broadcast(query.select(F.col(query_id_col), F.col(vec_col).alias("qvec")))
-    scored = (
-        vectors.join(q, on=vectors[id_col] != q[query_id_col])
-        .withColumn("cosine_sim", F.round(cosine(vec_col, "qvec"), 6))
-        .select(query_id_col, id_col, "cosine_sim")
-    )
+    scored = vectors.crossJoin(q)
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    scored = scored.withColumn(
+        "cosine_sim", F.round(cosine(vec_col, "qvec"), 6)
+    ).select(query_id_col, id_col, "cosine_sim")
     from pyspark.sql import Window
 
     w = Window.partitionBy(query_id_col).orderBy(

@@ -7,9 +7,11 @@ customer→nation→region dimension chain (≙ city→island, app.py:15-29),
 filtered to a timestamp range (app.py:108-110), aggregated per (region,
 hour bucket) with the dashboard's stat set (app.py:116-124), ordered.
 
-Scale shape: the three dimension joins broadcast (region/nation/customer are
-tiny vs events); the only shuffle is the final hash aggregate on
-(region, bucket) — and the ts-range filter is pushed to the parquet scan.
+Scale shape: nation⋈region broadcast (truly tiny); the customer leg shuffles
+(customer grows with the dataset — broadcasting it would OOM at scale; AQE may
+still choose broadcast at small SF). The ts-range filter is pushed to the
+parquet scan; the final hash aggregate on (region, bucket) is the one
+unavoidable shuffle.
 """
 
 from __future__ import annotations
@@ -32,14 +34,19 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
 
-    dim = (
-        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select(F.col("c_custkey").alias("user_id"), F.col("r_name").alias("region"))
-    )
+    # Broadcast only the genuinely tiny dims (nation⋈region: ≤ a few hundred
+    # rows at any SF). customer scales with the dataset, so the events⋈dim
+    # leg is left to shuffle / AQE — broadcasting a customer-grain relation
+    # OOMs executors at 100×.
+    nr = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", F.col("r_name").alias("region"))
+    dim = customer.join(
+        F.broadcast(nr), customer.c_nationkey == nr.n_nationkey
+    ).select(F.col("c_custkey").alias("user_id"), "region")
 
     return (
-        events.join(F.broadcast(dim), "user_id", "left")
+        events.join(dim, "user_id", "left")
         .withColumn("region", F.coalesce("region", F.lit("OTHER")))
         .groupBy(
             F.col("region"),

@@ -42,8 +42,13 @@ def _canon_value(v):
 
 def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
+    # None-tolerant sort key: Python can't compare None to float/str, so rows
+    # equal up to a NULL column would otherwise crash the harness.
     return sorted(
-        tuple(_canon_value(r[i]) for i in order) for r in rows
+        (tuple(_canon_value(r[i]) for i in order) for r in rows),
+        key=lambda row: tuple(
+            (v is None, str(type(v)), str(v)) for v in row
+        ),
     )
 
 
