@@ -1,0 +1,89 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Timing protocol (BASELINE.md): JVM warmed by a throwaway run, then each query
+executed to a noop sink (measures compute + shuffle, not driver collect),
+best-of-2 to damp JIT noise. Scale-representative subset: the flagship
+composite, the heavy joins/aggregations, and the EXT training-data operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # infer sf from the dir name for the report
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    from mini_project_big_data_analysis_spark.queries import all_queries
+    from mini_project_big_data_analysis_spark.session import get_spark
+
+    spark = get_spark(app_name="mpbda-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [
+        "flagship_region_hourly_stats",
+        "join_inner_equi",
+        "agg_time_window",
+        "agg_pivot",
+        "agg_global_stats",
+        "agg_describe",
+        "sort_order_by",
+        "ext_dedup_exact",
+        "ext_dedup_ngram",
+        "ext_dedup_fuzzy",
+        "ext_sim_topk",
+        "ext_text_stats",
+        "ext_lang_quality",
+        "ext_emb_neardup",
+    ]
+    registry = all_queries()
+
+    def run_once(qid: str) -> float:
+        t0 = time.time()
+        df = registry[qid].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    # JVM/codegen warm-up on the cheapest query, result discarded
+    run_once("agg_global_stats")
+
+    timings: dict[str, float] = {}
+    for qid in headline:
+        if qid not in registry:
+            continue
+        best = min(run_once(qid) for _ in range(2))
+        timings[qid] = round(best, 3)
+        print(f"# {qid}: {timings[qid]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -4,6 +4,16 @@ every query id into ``REGISTRY``."""
 from .base import REGISTRY, Query, register  # noqa: F401
 
 from . import flagship  # noqa: F401,E402
+from . import sources_q  # noqa: F401,E402
+from . import scalars_q  # noqa: F401,E402
+from . import filters_q  # noqa: F401,E402
+from . import aggregates_q  # noqa: F401,E402
+from . import joins_q  # noqa: F401,E402
+from . import streaming_q  # noqa: F401,E402
+from . import ext_dedup_q  # noqa: F401,E402
+from . import ext_similarity_q  # noqa: F401,E402
+from . import ext_text_q  # noqa: F401,E402
+from . import ext_multimodal_q  # noqa: F401,E402
 
 
 def all_queries() -> dict[str, Query]:

@@ -1,0 +1,233 @@
+"""Aggregation / sort / limit queries (SURVEY.md §2.4-2.5).
+
+Float-aggregate parity notes (SURVEY.md §7 "what's hard" item 1): every
+mean/stddev is rounded to a fixed scale on BOTH sides; scales are chosen so
+cross-engine summation-order noise (~1e-12 relative) cannot straddle a
+rounding boundary at the column's magnitude.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+
+@register(
+    "agg_global_stats",
+    """
+    SELECT count(*)                      AS n_rows,
+           round(avg(value), 6)          AS avg_value,
+           round(min(value), 6)          AS min_value,
+           round(max(value), 6)          AS max_value,
+           round(stddev_samp(value), 6)  AS std_value
+    FROM events
+    """,
+)
+def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-aggregate (app.py:116-124): one pass, one row."""
+    from ..operators.relational import global_stats
+
+    return global_stats(load(spark, sf_dir, "events"), ["value"])
+
+
+@register(
+    "agg_describe",
+    """
+    SELECT 'l_quantity' AS column, count(l_quantity) AS n,
+           round(avg(l_quantity), 4) AS mean, round(stddev_samp(l_quantity), 4) AS stddev,
+           round(min(l_quantity), 4) AS min, round(max(l_quantity), 4) AS max
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(l_discount), round(avg(l_discount), 4),
+           round(stddev_samp(l_discount), 4), round(min(l_discount), 4),
+           round(max(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(l_tax), round(avg(l_tax), 4),
+           round(stddev_samp(l_tax), 4), round(min(l_tax), 4), round(max(l_tax), 4)
+    FROM lineitem
+    """,
+)
+def agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.describe() analog (analysis.ipynb:cell2:2), long format, exact
+    stats, ONE scan for all columns (stack unpivot)."""
+    from ..operators.relational import describe_stats
+
+    li = load(spark, sf_dir, "lineitem")
+    out = describe_stats(li, ["l_quantity", "l_discount", "l_tax"])
+    # 4dp (not 6): stddev merge-order noise at |x|~1e4 can reach ~1e-6.
+    return out.select(
+        "column",
+        "n",
+        F.round("mean", 4).alias("mean"),
+        F.round("stddev", 4).alias("stddev"),
+        F.round("min", 4).alias("min"),
+        F.round("max", 4).alias("max"),
+    )
+
+
+@register(
+    "agg_value_counts",
+    """
+    SELECT event_type, count(*) AS "count" FROM events GROUP BY event_type
+    """,
+)
+def agg_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency table (app.py:144-146 value_counts), count-desc ordered."""
+    from ..operators.relational import value_counts
+
+    return value_counts(load(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "agg_group_avg",
+    """
+    SELECT event_type, round(avg(value), 6) AS avg_value, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by mean (app.py:149 avg temperature per island)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_min_max",
+    """
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events
+    """,
+)
+def agg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column min/max (app.py:54-55 date-picker bounds, app.py:156 last
+    update)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+@register(
+    "agg_distinct_sorted",
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+)
+def agg_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct + sort (app.py:56 sorted unique islands)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_type").distinct().orderBy("event_type")
+
+
+_PIVOT_ORACLE = """
+SELECT event_type,
+       {cols}
+FROM events
+GROUP BY event_type
+""".format(
+    cols=",\n       ".join(
+        f"round(avg(CASE WHEN CAST(strftime(ts, '%w') AS INT) = {d} "
+        f"THEN value END), 6) AS \"{d}\""
+        for d in range(7)
+    )
+)
+
+
+@register("agg_pivot", _PIVOT_ORACLE)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot matrix (app.py:153 pivot_table): event_type × day-of-week →
+    mean(value). Explicit pivot_values pin column order AND skip the
+    distinct-scan planning job (operators.relational.pivot_matrix note)."""
+    from ..operators.relational import pivot_matrix
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "dow", F.dayofweek("ts") - 1  # Spark 1=Sunday → 0=Sunday like %w
+    )
+    return pivot_matrix(
+        ev, index="event_type", columns="dow", values="value",
+        pivot_values=list(range(7)),
+    )
+
+
+@register("agg_count", "SELECT count(*) AS n_rows FROM lineitem")
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row count (analysis.ipynb:cell0:20). Parquet count() answers from
+    footer row-counts — no data pages read."""
+    return load(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "agg_time_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           round(avg(value), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_tumbling_agg (SURVEY.md §2.8): window() tumbling
+    aggregation, oracle-checked via date_trunc equivalence."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "avg_value",
+            "min_value",
+            "max_value",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "sort_order_by",
+    """
+    SELECT event_id, value FROM events
+    ORDER BY value DESC, event_id LIMIT 100
+    """,
+)
+def sort_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + deterministic tiebreak (app.py:144 count-desc, app.py:56 asc).
+    orderBy().limit(k) compiles to TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on the driver, no global sort."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
+    )
+
+
+@register(
+    "limit_head",
+    """
+    SELECT event_id, event_type, value FROM events ORDER BY event_id LIMIT 5
+    """,
+)
+def limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-N preview (analysis.ipynb:cell0:20 df.head()), made
+    deterministic with an explicit order."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", "event_type", "value").orderBy("event_id").limit(5)

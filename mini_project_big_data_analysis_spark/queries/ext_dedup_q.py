@@ -1,0 +1,108 @@
+"""Deduplication queries (SURVEY.md §2.9, north-star training-data ops).
+
+The four-tier funnel from operators/dedup.py, each registered standalone:
+exact and fingerprint and n-gram-Jaccard are fully SQL-mirrorable (strong
+oracle); MinHash-LSH and SimHash depend on hash seeds DuckDB can't reproduce
+(xxhash64 / md5-bit-planes), so they get the rows-only check — their
+*correctness* is pinned by unit tests on planted duplicates instead
+(tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .base import load, register
+
+
+@register(
+    "ext_dedup_exact",
+    """
+    SELECT user_id, event_type,
+           min(event_id) AS event_id,
+           count(*)      AS dup_count
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: deterministic representative (min id) + multiplicity per
+    key tuple. One hash-agg shuffle, map-side partial aggregation."""
+    from ..operators.dedup import exact_dedup
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+    return exact_dedup(ev, keys=["user_id", "event_type"], id_col="event_id")
+
+
+@register(
+    "ext_dedup_fingerprint",
+    r"""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS doc_id,
+           count(*)    AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def ext_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-insensitive exact dedup: md5 of casefolded, punct-stripped,
+    whitespace-collapsed text — the cheap tier before MinHash."""
+    from ..operators.dedup import fingerprint_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return fingerprint_dedup(docs, "text", "doc_id")
+
+
+_NGRAM_ORACLE = r"""
+WITH keyed AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 8), ' ')
+           AS block_key,
+         list_distinct(string_split_regex(trim(text), '\s+')) AS words
+  FROM documents
+)
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       round(len(list_intersect(a.words, b.words))::DOUBLE
+             / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
+             6) AS jaccard
+FROM keyed a
+JOIN keyed b
+  ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.words, b.words))::DOUBLE
+      / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.3
+"""
+
+
+@register("ext_dedup_ngram", _NGRAM_ORACLE)
+def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (word-set) Jaccard near-dup with deterministic prefix blocking
+    — fully SQL-expressible, so the one near-dup tier with a strong oracle.
+    Self-join shuffles on the block key, never all-pairs."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", block_words=8, threshold=0.3)
+
+
+@register("ext_dedup_fuzzy", None)  # rows-only: xxhash64 seeds not in DuckDB
+def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified (the scale path:
+    banded buckets shuffle on (band, bucket), candidates only)."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_k=3,
+        jaccard_threshold=0.3,
+    )
+
+
+@register("ext_dedup_simhash", None)  # rows-only: md5 bit-planes not in DuckDB
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) with pigeonhole-chunk blocking."""
+    from ..operators.dedup import simhash_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)

@@ -1,0 +1,94 @@
+"""Similarity-search queries (SURVEY.md §2.9) over the embeddings table.
+
+``ext_sim_topk`` is the exact brute-force baseline with a strong DuckDB
+oracle (list_cosine_similarity — cast to DOUBLE[] on the oracle side because
+DuckDB accumulates FLOAT[] in float32 while our `cosine` accumulates in
+double). ``ext_sim_ann`` (LSH buckets from seeded random hyperplanes) and
+its recall are pinned by unit tests instead — the hyperplane constants are
+not reproducible in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         round(list_cosine_similarity(v.embedding::DOUBLE[], q.qvec), 6) AS cosine_sim
+  FROM embeddings v, q
+  WHERE v.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, vec_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ext_sim_topk", _TOPK_ORACLE)
+def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors drawn from the corpus:
+    crossJoin(broadcast(queries)) → codegen'd double-accumulated cosine →
+    per-query window rank. The corpus side never shuffles."""
+    from ..operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(
+        emb, queries, k=10, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", exclude_self=True,
+    )
+
+
+@register("ext_sim_ann", None)  # rows-only: seeded hyperplanes not in SQL
+def ext_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets — the 100 TB
+    path: equi-join on bucket id, partition-prunable when the corpus is
+    written bucketed. Recall traded for a 1/2^n_planes scan fraction."""
+    from ..operators.similarity import lsh_bucketed_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(
+        emb, queries, dim=64, k=10, n_planes=6, id_col="vec_id",
+        vec_col="embedding", query_id_col="query_id",
+    )
+
+
+_NEARDUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+         AS cosine_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+      >= 0.3
+"""
+
+
+@register("ext_emb_neardup", _NEARDUP_ORACLE)
+def ext_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within an explicit block (label) —
+    exact-within-block and SQL-mirrorable. With block_col=None the same
+    operator blocks by LSH bucket (the scale default, tested in unit tests)."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, threshold=0.3, block_col="label", id_col="vec_id", vec_col="embedding"
+    )

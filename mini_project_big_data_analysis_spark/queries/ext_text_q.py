@@ -1,0 +1,112 @@
+r"""Text-analysis queries (SURVEY.md §2.9) over the documents table.
+
+Everything here is a pure column expression (functions/text_fns.py) — no
+UDFs — so the oracle can mirror each formula exactly: ratios are rationals
+(int/int) that both engines evaluate identically in double precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text_fns
+from .base import load, register
+
+_STATS_ORACLE = r"""
+SELECT doc_id,
+       length(text)                                           AS n_chars_calc,
+       len(string_split_regex(trim(text), '\s+'))             AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                                                              AS n_tokens_bpe,
+       round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+             / greatest(length(text), 1), 6)                  AS punct_ratio
+FROM documents
+"""
+
+
+@register("ext_text_stats", _STATS_ORACLE)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: char length, whitespace tokens, BPE-ish
+    tokens (regexp_count — codegen, no UDF), punctuation ratio."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        text_fns.token_count_ws("text").alias("n_tokens_ws"),
+        text_fns.token_count_bpe("text").alias("n_tokens_bpe"),
+        F.round(text_fns.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+def _stop_ratio_sql(lang_words: tuple[str, ...]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in lang_words) + "]"
+    return (
+        r"len(list_filter(string_split_regex(trim(text), '\s+'),"
+        f" t -> list_contains({lst}, lower(t))))::DOUBLE"
+        r" / greatest(len(string_split_regex(trim(text), '\s+')), 1)"
+    )
+
+
+def _lang_oracle() -> str:
+    ratios = {
+        lang: _stop_ratio_sql(words) for lang, words in text_fns.STOPWORDS.items()
+    }
+    r_cols = ",\n    ".join(f"{expr} AS r_{lang}" for lang, expr in ratios.items())
+    langs = list(text_fns.STOPWORDS)
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang in langs) + ")"
+    # precedence = STOPWORDS dict order, matching text_fns.language_id
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND r_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+    {r_cols}
+  FROM documents
+)
+SELECT doc_id, lang,
+       {case} AS lang_guess,
+       round((least(length(text)::DOUBLE / 500.0, 1.0)
+              + (1.0 - least(((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                              / greatest(length(text), 1)) * 5.0, 1.0))
+              + least(r_en * 5.0, 1.0)) / 3.0, 6) AS quality
+FROM scored
+"""
+
+
+@register("ext_lang_quality", _lang_oracle())
+def ext_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (stopword-hit-rate heuristic) + composite quality score —
+    the full formulas mirrored in SQL, including the tie-break order."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        text_fns.language_id("text").alias("lang_guess"),
+        text_fns.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "ext_json_props",
+    """
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT)           AS k,
+           CAST(props->>'$.k' AS BIGINT) % 10       AS k_mod,
+           CASE WHEN CAST(props->>'$.k' AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END          AS k_band
+    FROM events
+    """,
+)
+def ext_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from a JSON string column (events.props) plus
+    derived columns — the schema-on-read boundary made columnar."""
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_mod"),
+        F.when(k >= 50, F.lit("high")).otherwise(F.lit("low")).alias("k_band"),
+    )

@@ -1,0 +1,200 @@
+"""Join & set-operation queries (SURVEY.md §2.6-2.7).
+
+The reference's one join is the city→island broadcast lookup
+(app.py:25-29,46); the rest generalize it to the standard family. Scale
+notes inline: every join states which side broadcasts (or why neither
+does) — that choice, not the join syntax, is what survives a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+
+@register(
+    "join_broadcast_dim",
+    """
+    SELECT c.c_custkey, coalesce(r.r_name, 'OTHER') AS region_name
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference lookup as a join (app.py:25-29,46): fact left-joins a
+    broadcast dim chain with a default. Only nation⋈region broadcasts —
+    both are bounded-cardinality at any SF."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    nr = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left"
+    ).select("n_nationkey", F.col("r_name").alias("region_name"))
+    return (
+        customer.join(F.broadcast(nr), customer.c_nationkey == nr.n_nationkey, "left")
+        .select(
+            "c_custkey", F.coalesce("region_name", F.lit("OTHER")).alias("region_name")
+        )
+    )
+
+
+@register(
+    "join_inner_equi",
+    """
+    SELECT c.c_mktsegment,
+           count(*)                          AS n_items,
+           round(avg(l.l_extendedprice), 4)  AS avg_price
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join (SURVEY.md §2.6 customer⋈orders⋈lineitem).
+    No manual broadcast: all three sides scale together, so shuffle joins
+    on the keys (AQE switches strategy / splits skew at runtime)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "join_left_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership-as-join (the app.py:110 isin at scale): left semi keeps
+    the probe side's columns only and short-circuits on first match —
+    no row multiplication, half the shuffle of an inner join + distinct."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusion join (customers with no orders)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_outer",
+    """
+    SELECT coalesce(c.k, s.k)        AS nationkey,
+           coalesce(c.n_cust, 0)     AS n_cust,
+           coalesce(s.n_supp, 0)     AS n_supp
+    FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+    ON c.k = s.k
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-nation customer vs supplier counts, keys present
+    on either side. Pre-aggregating both sides BEFORE the join keeps the
+    outer join's shuffle at group-key cardinality, not row cardinality."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "k", "full_outer")
+        .select(
+            F.col("k").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "setop_union_all",
+    """
+    SELECT c_custkey AS id, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_suppkey AS id, 'supplier' AS src FROM supplier
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL via unionByName (bag semantics, no dedup shuffle)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.lit("customer").alias("src")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.lit("supplier").alias("src")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "setop_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — compiles to a left-semi join over
+    distinct inputs."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 0
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal < 0
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) — nations that have negative-balance
+    customers but no negative-balance suppliers."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)

@@ -1,0 +1,271 @@
+"""Projection / scalar-function queries (SURVEY.md §2.2).
+
+Each declared ``fn_*`` / ``proj_*`` id gets a standalone binding on the
+driver tables. Where the reference semantics need data shapes the tables
+don't have (polymorphic JSON, nested weather documents), the query *derives*
+that shape deterministically from `events` inside both engines — the oracle
+reproduces the derivation in SQL, so the check still pins the function's
+semantics, not the synthesizer's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import datetime_fns, json_fns
+from ..schemas import WEATHER_ARRAY
+from .base import load, register
+
+
+@register(
+    "proj_select_cols",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+)
+def proj_select_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-only-these-columns projection (analysis.ipynb:cell1:12)."""
+    return load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "proj_rename",
+    "SELECT c_custkey AS id_pelanggan, c_name AS nama, c_acctbal AS saldo FROM customer",
+)
+def proj_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk column rename (analysis.ipynb:cell1:2-10 city→kota etc.)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .withColumnsRenamed(
+            {"c_custkey": "id_pelanggan", "c_name": "nama", "c_acctbal": "saldo"}
+        )
+    )
+
+
+# The full consumer flatten/clean/derive pipeline (consumer.py:32-76) run on a
+# weather-shaped frame derived from events. Derivation rules (mirrored in SQL):
+#   name       = event_type padded with spaces  (exercises the trim, producer.py:36)
+#   main.temp  = value, NULLed for event_id%11==0  (completeness gate rows)
+#   main.humidity = user_id%100 ; main.pressure = 1013
+#   weather    = JSON string '[{"description": <event_type>}]', NULL for %7==0
+#   wind.speed = value/2 ; dt = event_id+1.7e9 ; timezone = 25200 (UTC+7)
+_NESTED_ORACLE = """
+SELECT
+  trim(event_type)                                   AS city,
+  value                                              AS temperature,
+  user_id % 100                                      AS humidity,
+  CAST(1013 AS BIGINT)                               AS pressure,
+  CASE WHEN event_id % 7 = 0 THEN 'Unknown' ELSE event_type END AS weather,
+  round(value / 2, 6)                                AS wind_speed,
+  strftime(to_timestamp(event_id + 1700000000) + to_seconds(25200),
+           '%Y-%m-%d %H:%M:%S')                      AS local_time
+FROM events
+WHERE event_id % 11 <> 0
+"""
+
+
+@register("proj_nested_extract", _NESTED_ORACLE)
+def proj_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer's entire clean pipeline (consumer.py:32-76) — nested
+    extraction with defaults, polymorphic weather parse, completeness filter,
+    epoch→local-time derivation — via operators.relational.clean_weather."""
+    ev = load(spark, sf_dir, "events")
+    raw = ev.select(
+        F.concat(F.lit("  "), F.col("event_type"), F.lit("  ")).alias("name"),
+        F.struct(
+            F.when(F.col("event_id") % 11 != 0, F.col("value")).alias("temp"),
+            (F.col("user_id") % 100).alias("humidity"),
+            F.lit(1013).cast("long").alias("pressure"),
+        ).alias("main"),
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.concat(
+                F.lit('[{"description": "'), F.col("event_type"), F.lit('"}]')
+            ),
+        ).alias("weather_raw"),
+        F.struct((F.col("value") / 2).alias("speed")).alias("wind"),
+        F.struct(F.lit(0.0).alias("lon"), F.lit(0.0).alias("lat")).alias("coord"),
+        (F.col("event_id") + 1_700_000_000).alias("dt"),
+        F.lit(25200).cast("long").alias("timezone"),
+    )
+    from ..operators.relational import clean_weather
+
+    cleaned = clean_weather(raw)
+    # coordinates is a struct (engines render structs differently) and
+    # humidity/pressure casts are already pinned — project the scalar columns.
+    return cleaned.select(
+        "city",
+        "temperature",
+        "humidity",
+        "pressure",
+        "weather",
+        F.round("wind_speed", 6).alias("wind_speed"),
+        "local_time",
+    )
+
+
+@register(
+    "fn_json_parse_polymorphic",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS n_items
+    FROM events
+    """,
+)
+def fn_json_parse_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic JSON field (consumer.py:36-43): valid JSON-array string →
+    parsed; malformed ('not-json') or NULL → empty array, never a failure."""
+    ev = load(spark, sf_dir, "events")
+    poly = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit('[{"description": "'), F.col("event_type"), F.lit('"}]')),
+        )
+        .when(F.col("event_id") % 3 == 1, F.lit("not-json"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    parsed = json_fns.parse_polymorphic_array(poly, WEATHER_ARRAY)
+    return ev.select("event_id", F.size(parsed).alias("n_items"))
+
+
+@register(
+    "fn_array_first_field",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 2 = 0 THEN event_type ELSE 'Unknown' END AS description
+    FROM events
+    """,
+)
+def fn_array_first_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First array element's field with default (consumer.py:45
+    weather_list[0].get('description', 'Unknown')), empty-array-safe."""
+    ev = load(spark, sf_dir, "events")
+    arr = F.when(
+        F.col("event_id") % 2 == 0,
+        F.array(F.struct(F.col("event_type").alias("description"))),
+    ).otherwise(F.array().cast("array<struct<description:string>>"))
+    return ev.select(
+        "event_id",
+        json_fns.first_element_field(arr, "description").alias("description"),
+    )
+
+
+@register(
+    "fn_epoch_to_ts",
+    """
+    SELECT event_id,
+           strftime(to_timestamp(event_id + 1700000000), '%Y-%m-%d %H:%M:%S') AS utc_ts
+    FROM events
+    """,
+)
+def fn_epoch_to_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch seconds → UTC timestamp (consumer.py:59 utcfromtimestamp)."""
+    ev = load(spark, sf_dir, "events")
+    epoch = F.col("event_id") + 1_700_000_000
+    return ev.select(
+        "event_id",
+        datetime_fns.ts_format(datetime_fns.epoch_to_ts(epoch)).alias("utc_ts"),
+    )
+
+
+@register(
+    "fn_ts_add_offset",
+    """
+    SELECT event_id,
+           strftime(ts + to_seconds(user_id % 86400 - 43200),
+                    '%Y-%m-%d %H:%M:%S') AS local_ts
+    FROM events
+    """,
+)
+def fn_ts_add_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row timezone-offset addition (consumer.py:60 + timedelta(seconds)),
+    including negative offsets."""
+    ev = load(spark, sf_dir, "events")
+    off = F.col("user_id") % 86400 - 43200
+    return ev.select(
+        "event_id",
+        datetime_fns.ts_format(
+            datetime_fns.ts_add_offset_seconds("ts", off)
+        ).alias("local_ts"),
+    )
+
+
+@register(
+    "fn_ts_format",
+    "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str FROM events",
+)
+def fn_ts_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp → wire-format string (consumer.py:61, app.py:156)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", datetime_fns.ts_format("ts").alias("ts_str"))
+
+
+@register(
+    "fn_ts_parse",
+    """
+    SELECT event_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
+    FROM events
+    """,
+)
+def fn_ts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String → timestamp parse (app.py:40 pd.to_datetime): format then
+    re-parse the wire string; output epoch seconds to prove a real round-trip."""
+    ev = load(spark, sf_dir, "events")
+    parsed = datetime_fns.ts_parse(datetime_fns.ts_format("ts"))
+    return ev.select("event_id", F.unix_timestamp(parsed).alias("epoch_s"))
+
+
+@register(
+    "fn_cast_round",
+    """
+    SELECT event_id,
+           CAST(round_even(value, 0) AS DOUBLE) AS value_rounded,
+           CAST(user_id % 100 AS INT)           AS h_int
+    FROM events
+    """,
+)
+def fn_cast_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coerce + round with pandas parity (app.py:44-45): banker's rounding
+    (bround / round_even), int cast."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        datetime_fns.bround_like_pandas("value", 0).alias("value_rounded"),
+        (F.col("user_id") % 100).cast("int").alias("h_int"),
+    )
+
+
+@register(
+    "fn_dim_lookup",
+    """
+    SELECT c.c_custkey, c.c_nationkey,
+           coalesce(n.n_name, 'Lainnya') AS nation_name
+    FROM customer c
+    LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 13) n
+      ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def fn_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict-lookup enrichment with default (get_pulau app.py:25-29,46):
+    broadcast left join + coalesce; the dim is filtered so the default
+    actually fires for some rows."""
+    from ..operators.relational import dim_lookup
+
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
+    return dim_lookup(
+        customer, nation, "c_nationkey", "n_nationkey", "n_name", "Lainnya",
+        out_col="nation_name",
+    )
+
+
+@register(
+    "fn_string_strip",
+    "SELECT c_custkey, trim(concat('  ', c_name, '   ')) AS name_stripped FROM customer",
+)
+def fn_string_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace strip (producer.py:36 city.strip())."""
+    c = load(spark, sf_dir, "customer")
+    padded = F.concat(F.lit("  "), F.col("c_name"), F.lit("   "))
+    return c.select("c_custkey", F.trim(padded).alias("name_stripped"))

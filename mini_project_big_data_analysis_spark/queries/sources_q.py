@@ -1,0 +1,83 @@
+"""Source/sink queries (SURVEY.md §2.1).
+
+The reference's sources are a REST poll loop (producer.py:15-24), a Kafka
+consumer (consumer.py:18-25) and a Mongo full scan (app.py:35-36); its sinks
+are a Kafka JSON producer (producer.py:27-30,40-41) and insert_one
+(consumer.py:78). Batch declared forms: schema'd parquet scans, a typed JSON
+parse of the events props payload, a to_json/from_json round-trip (the Kafka
+value codec), and a bulk parquet append that is read back (sink proof is the
+round-trip, which is *stronger* than rows-only).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+
+@register("src_parquet_scan", "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")
+def src_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan with declared schema (producer.py:15-24 poll source's
+    batch stand-in). Catalyst prunes columns; nothing else to do."""
+    return load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
+@register("src_table_scan", "SELECT r_regionkey, r_name FROM region")
+def src_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-collection scan (app.py:35-36 collection.find({}))."""
+    return load(spark, sf_dir, "region")
+
+
+@register(
+    "src_json_scan",
+    "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events",
+)
+def src_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-source analog (consumer.py:18-25): JSON payload parsed with an
+    explicit schema into typed columns. PERMISSIVE: malformed → NULL."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id", F.from_json("props", "k BIGINT").getField("k").alias("k")
+    )
+
+
+@register(
+    "snk_json_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def snk_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka value codec round-trip (producer.py:27-30 serializer +
+    consumer.py:24 deserializer): to_json(struct(*)) → from_json(schema).
+    The oracle is the identity — a lossless round-trip IS the check."""
+    from ..sources.writers import json_roundtrip
+
+    nation = load(spark, sf_dir, "nation")
+    return json_roundtrip(nation, "n_nationkey INT, n_name STRING, n_regionkey INT")
+
+
+@register(
+    "snk_append_write",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 0",
+)
+def snk_append_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk append sink + scan-back (vs consumer.py:78 insert_one-per-record).
+    Writing then re-reading proves the sink losslessly (stronger than the
+    declared rows-only check)."""
+    df = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "mpbda_spark_sink", f"append_{uuid.uuid4().hex}"
+    )
+    df.write.mode("append").parquet(path)
+    return spark.read.parquet(path)

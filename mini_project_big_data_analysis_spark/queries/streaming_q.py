@@ -1,0 +1,25 @@
+"""Streaming query registrations (SURVEY.md §2.8).
+
+``stream_tumbling_agg`` executes the real Structured Streaming machinery
+(file source → watermark → windowed state → memory sink, Trigger.AvailableNow)
+— rows-only by the driver contract (DuckDB cannot mirror a stream), but its
+batch twin ``agg_time_window`` (aggregates_q.py) IS oracle-checked on the
+same data, which pins the window semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .base import register
+
+
+@register("stream_tumbling_agg", None)  # rows-only: streams have no SQL oracle
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream (the dashboard's
+    5-minute recompute loop, app.py:80-84,101, done incrementally).
+    Runs to completion with Trigger.AvailableNow and returns the
+    materialized memory-sink table."""
+    from ..streaming.pipeline import run_tumbling_agg_availablenow
+
+    return run_tumbling_agg_availablenow(spark, sf_dir)

@@ -27,20 +27,35 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from ..schemas import EVENTS
+
+#: The on-disk shape: ``ts`` is INT64 TIMESTAMP(NANOS), which Spark's reader
+#: only accepts as a long (sources/events.py) — declared long here, converted
+#: to a proper timestamp in the stream below.
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+        for f in EVENTS.fields
+    ]
+)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the driver's events table (Kafka stand-in).
 
     ``maxFilesPerTrigger`` is left default; schema is explicit (streaming
-    file sources require it — and so does the 100 TB posture).
+    file sources require it — and so does the 100 TB posture). The ns→µs
+    conversion mirrors sources/events.py.
     """
-    return (
-        spark.readStream.schema(EVENTS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def clean_event_stream(stream: DataFrame) -> DataFrame:

@@ -1,0 +1,61 @@
+"""Fill BASELINE.md: time every oracle-checked query in DuckDB and in Spark
+at a given SF, median of 3 warm runs, and print a markdown table.
+
+Usage: python scripts/bench_baseline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from tests.oracle import duck_connection  # noqa: E402
+
+from mini_project_big_data_analysis_spark.queries import all_queries  # noqa: E402
+from mini_project_big_data_analysis_spark.session import get_spark  # noqa: E402
+
+
+def median3(fn) -> float:
+    fn()  # warm (discarded)
+    return statistics.median(fn() for _ in range(3))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="mpbda-baseline")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connection(sf_dir)
+    rows = []
+    for qid, q in sorted(all_queries().items()):
+        if q.oracle is None:
+            continue
+
+        def duck_run(sql=q.oracle):
+            t0 = time.time()
+            con.sql(sql).fetchall()
+            return time.time() - t0
+
+        def spark_run(fn=q.fn):
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            return time.time() - t0
+
+        d = median3(duck_run)
+        s = median3(spark_run)
+        rows.append((qid, d, s))
+        print(f"# {qid}: duck={d:.3f}s spark={s:.3f}s ratio={s / max(d, 1e-9):.1f}x", file=sys.stderr)
+
+    print("| query id | DuckDB s | Spark s | Spark/DuckDB |")
+    print("|---|---|---|---|")
+    for qid, d, s in rows:
+        print(f"| `{qid}` | {d:.3f} | {s:.3f} | {s / max(d, 1e-9):.1f}× |")
+    print(f"| **total** | **{sum(d for _, d, _ in rows):.2f}** | **{sum(s for _, _, s in rows):.2f}** | |")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

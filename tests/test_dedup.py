@@ -1,0 +1,88 @@
+"""Dedup-operator tests on planted duplicates — the correctness pin for the
+rows-only query ids (ext_dedup_fuzzy, ext_dedup_simhash)."""
+
+from __future__ import annotations
+
+from mini_project_big_data_analysis_spark.operators import dedup
+
+BASE = (
+    "spark shuffles data between stages when a wide dependency requires "
+    "repartitioning by key across the cluster nodes"
+)
+NEAR = (
+    "spark shuffles data between stages when a wide dependency requires "
+    "repartitioning by key across all the cluster nodes"
+)
+OTHER = (
+    "completely different text about cooking pasta with tomatoes basil "
+    "garlic olive oil and a pinch of salt for dinner tonight"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),        # exact dup of 1
+        (3, NEAR),        # near dup of 1 (one inserted word)
+        (4, OTHER),
+        (5, "short"),     # < k tokens: must not crash anything
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_representative_and_count(spark):
+    out = dedup.exact_dedup(_docs(spark), keys=["text"], id_col="doc_id")
+    by_text = {r.text: r for r in out.collect()}
+    assert by_text[BASE].doc_id == 1 and by_text[BASE].dup_count == 2
+    assert by_text[OTHER].dup_count == 1
+
+
+def test_fingerprint_dedup_formatting_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "bye")],
+        "doc_id long, text string",
+    )
+    out = dedup.fingerprint_dedup(df, "text", "doc_id").collect()
+    counts = sorted(r.dup_count for r in out)
+    assert counts == [1, 2]
+
+
+def test_minhash_lsh_finds_near_dups_and_survives_short_docs(spark):
+    # regression: word_shingles crashed on < k-token docs (rows 5, 6)
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark), "doc_id", "text", num_hashes=32, bands=8,
+        jaccard_threshold=0.5,
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found  # exact dup always survives
+    assert (1, 3) in found or (2, 3) in found  # near dup caught
+    for r in pairs:
+        assert r.jaccard >= 0.5
+
+
+def test_ngram_jaccard_blocked_pairs(spark):
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark), "doc_id", "text", block_words=4, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert found[(1, 2)] == 1.0
+    assert (1, 3) in found
+
+
+def test_simhash_pairs_hamming(spark):
+    # a 1-token edit in a 300-token doc flips 2 simhash bits (deterministic,
+    # md5-based) — within both the hamming budget and the 4-chunk pigeonhole
+    # guarantee (hamming ≤ 3 ⇒ at least one 16-bit chunk agrees).
+    base_words = [f"tok{i}" for i in range(300)]
+    long_base = " ".join(base_words)
+    long_near = " ".join(base_words[:-1] + ["changed"])
+    df = spark.createDataFrame(
+        [(1, long_base), (2, long_base), (3, long_near), (4, OTHER)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found[(1, 2)] == 0  # identical text → identical simhash
+    assert found[(1, 3)] == 2 and found[(2, 3)] == 2
+    assert not any(4 in p for p in found)

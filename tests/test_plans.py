@@ -1,0 +1,52 @@
+"""Physical-plan assertions (plans/checks.py): pushdown, broadcast shape,
+column pruning — the 100 TB properties, asserted rather than hoped."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mini_project_big_data_analysis_spark.plans import checks
+from mini_project_big_data_analysis_spark.queries.flagship import flagship
+from mini_project_big_data_analysis_spark.sources.events import load_events
+
+
+def test_events_ts_range_pushes_down(spark, sf_dir):
+    ev = load_events(spark, sf_dir, ts_between=("2024-01-05 00:00:00", "2024-01-06 00:00:00"))
+    # the raw INT64 ns predicate must reach the parquet scan
+    checks.assert_pushed_filters(ev, "GreaterThanOrEqual(ts", "LessThanOrEqual(ts")
+
+
+def test_flagship_plan_shape(spark, sf_dir):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = flagship(spark, sf_dir)
+        plan = checks.explain_str(df)
+        # tiny dims broadcast…
+        assert "BroadcastHashJoin" in plan
+        # …but never a customer-grain build side: the events⋈dim join is a
+        # shuffle join in the static plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # ts range pushed to scan
+        checks.assert_pushed_filters(df, "GreaterThanOrEqual(ts", "LessThanOrEqual(ts")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_metadata_query_prunes_payload_column(spark, sf_dir):
+    from mini_project_big_data_analysis_spark.operators.multimodal import (
+        attach_binary_payload,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = attach_binary_payload(docs)
+    meta_only = media.select("doc_id", F.col("media_meta.width"))
+    schema = checks.scan_read_schema(meta_only, "documents")
+    # the payload source column (text) must not be read for a metadata query
+    assert "text" not in schema
+    assert "doc_id" in schema
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    schema = checks.scan_read_schema(li, "lineitem")
+    assert "l_orderkey" in schema and "l_extendedprice" not in schema

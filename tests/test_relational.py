@@ -1,0 +1,112 @@
+"""Relational-operator tests: the FIXTURES.md §B weather fixtures with every
+reference edge case (consumer.py:37-45,55-57, app.py:29), dim_lookup
+name-collision handling, single-pass describe, pivot."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mini_project_big_data_analysis_spark.operators import relational
+from mini_project_big_data_analysis_spark.plans.checks import explain_str
+
+
+def _raw_weather(spark):
+    """FIXTURES.md §B.1 with the required edge rows."""
+    rows = [
+        # name, temp, humidity, pressure, weather_raw, speed, lon, lat, dt, tz
+        ("  Jakarta ", 31.2, 70, 1010, '[{"description": "haze"}]', 3.1, 106.8, -6.2, 1_700_000_000, 25_200),
+        ("Surabaya", None, 65, 1012, '[{"description": "clear"}]', 2.0, 112.7, -7.2, 1_700_000_100, 25_200),  # null temp → dropped
+        ("Medan", 29.0, None, 1011, '[{"description": "rain"}]', 1.0, 98.7, 3.6, 1_700_000_200, 25_200),  # null humidity → dropped
+        ("Bandung", 24.0, 80, 1013, '[{"description": "drizzle"}]', 1.5, 107.6, -6.9, None, 25_200),  # null dt → dropped
+        ("Makassar", 30.0, 75, 1009, "[]", 4.0, 119.4, -5.1, 1_700_000_300, 28_800),  # empty weather → Unknown
+        ("Denpasar", 28.5, 78, 1008, "not-valid-json", 2.5, 115.2, -8.7, 1_700_000_400, 28_800),  # malformed → Unknown
+        ("Gotham", 20.0, 50, 1000, '[{"description": "fog"}]', 1.0, 0.0, 0.0, 1_700_000_500, 0),  # unknown city → Lainnya
+    ]
+    schema = (
+        "name string, temp double, humidity long, pressure long, weather_raw string,"
+        " speed double, lon double, lat double, dt long, timezone long"
+    )
+    flat = spark.createDataFrame(rows, schema)
+    return flat.select(
+        "name",
+        F.struct(
+            F.col("temp"), F.col("humidity"), F.col("pressure")
+        ).alias("main"),
+        "weather_raw",
+        F.struct(F.col("speed")).alias("wind"),
+        F.struct(F.col("lon"), F.col("lat")).alias("coord"),
+        "dt",
+        "timezone",
+    )
+
+
+def _dim_island(spark):
+    return spark.createDataFrame(
+        [("Jakarta", "Jawa"), ("Makassar", "Sulawesi"), ("Denpasar", "Bali")],
+        "city string, pulau string",
+    )
+
+
+def test_clean_weather_edge_cases(spark):
+    out = relational.clean_weather(_raw_weather(spark)).collect()
+    by_city = {r.city: r for r in out}
+    # completeness gate: null temp/humidity/dt rows dropped (consumer.py:55-57)
+    assert set(by_city) == {"Jakarta", "Makassar", "Denpasar", "Gotham"}
+    assert by_city["Jakarta"].weather == "haze"  # and name was trimmed
+    assert by_city["Makassar"].weather == "Unknown"  # empty array (consumer.py:45)
+    assert by_city["Denpasar"].weather == "Unknown"  # malformed JSON (consumer.py:38-41)
+    # local time: 1_700_000_000 + 7h (consumer.py:59-61)
+    assert by_city["Jakarta"].local_time == "2023-11-15 05:13:20"
+
+
+def test_dim_lookup_collision_and_default(spark):
+    clean = relational.clean_weather(_raw_weather(spark))
+    enriched = relational.dim_lookup(
+        clean, _dim_island(spark), "city", "city", "pulau", "Lainnya"
+    )
+    # the fact's key column must survive a fact_key==dim_key name collision
+    assert "city" in enriched.columns
+    by_city = {r.city: r.pulau for r in enriched.collect()}
+    assert by_city["Jakarta"] == "Jawa"
+    assert by_city["Gotham"] == "Lainnya"  # app.py:29 default
+
+
+def test_dim_lookup_broadcasts(spark):
+    clean = relational.clean_weather(_raw_weather(spark))
+    enriched = relational.dim_lookup(
+        clean, _dim_island(spark), "city", "city", "pulau", "Lainnya"
+    )
+    assert "BroadcastHashJoin" in explain_str(enriched)
+
+
+def test_describe_stats_single_scan_and_values(spark):
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, None)], "a double, b double"
+    )
+    out = {r.column: r for r in relational.describe_stats(df, ["a", "b"]).collect()}
+    assert out["a"].n == 3 and out["a"].mean == 2.0 and out["a"].stddev == 1.0
+    assert out["b"].n == 2 and out["b"].min == 10.0 and out["b"].max == 20.0
+    # single pass: exactly one scan of the input in the plan ("simple" mode
+    # prints each physical node once; "formatted" repeats them in the detail)
+    plan = explain_str(relational.describe_stats(df, ["a", "b"]), mode="simple")
+    assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_value_counts_and_pivot(spark):
+    df = spark.createDataFrame(
+        [("x", "m", 1.0), ("x", "n", 3.0), ("y", "m", 5.0), ("x", "m", 3.0)],
+        "k string, c string, v double",
+    )
+    vc = relational.value_counts(df, "k").collect()
+    assert [(r.k, r["count"]) for r in vc] == [("x", 3), ("y", 1)]
+
+    piv = relational.pivot_matrix(df, "k", "c", "v", pivot_values=["m", "n"])
+    rows = {r.k: r for r in piv.collect()}
+    assert rows["x"].m == 2.0 and rows["x"].n == 3.0
+    assert rows["y"].m == 5.0 and rows["y"].n is None
+
+
+def test_global_stats(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    r = relational.global_stats(df, ["v"]).collect()[0]
+    assert r.n_rows == 3 and r.avg_v == 2.0 and r.min_v == 1.0 and r.max_v == 3.0 and r.std_v == 1.0

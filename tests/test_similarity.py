@@ -1,0 +1,90 @@
+"""Similarity-search tests: exact top-k against a numpy oracle, LSH bucket
+determinism, near-dup blocking."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from mini_project_big_data_analysis_spark.functions import vector_fns
+from mini_project_big_data_analysis_spark.operators import similarity
+
+
+def _vectors(spark, n=30, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype("float32")
+    rows = [(i, vecs[i].tolist(), int(i % 3)) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"),
+        vecs,
+    )
+
+
+def test_vector_fns_against_numpy(spark):
+    df, vecs = _vectors(spark, n=2)
+    a, b = vecs[0].astype("float64"), vecs[1].astype("float64")
+    row = (
+        df.groupBy()
+        .pivot("vec_id", [0, 1])
+        .agg(F.first("embedding"))
+        .select(
+            vector_fns.dot(F.col("0"), F.col("1")).alias("dot"),
+            vector_fns.cosine(F.col("0"), F.col("1")).alias("cos"),
+        )
+        .collect()[0]
+    )
+    assert abs(row.dot - float(a @ b)) < 1e-6
+    expected_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(row.cos - expected_cos) < 1e-6
+
+
+def test_cosine_topk_matches_numpy(spark):
+    df, vecs = _vectors(spark)
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(
+        df, queries, k=5, exclude_self=True
+    ).collect()
+    v64 = vecs.astype("float64")
+    norms = np.linalg.norm(v64, axis=1)
+    for qid in (0, 1):
+        sims = (v64 @ v64[qid]) / (norms * norms[qid])
+        sims[qid] = -np.inf  # excluded self
+        expect = list(np.argsort(-np.round(sims, 6), kind="stable")[:5])
+        got = [r.vec_id for r in sorted(out, key=lambda r: r.rank) if r.query_id == qid]
+        assert got == [int(i) for i in expect]
+
+
+def test_lsh_bucket_deterministic_and_ann_subset(spark):
+    df, _ = _vectors(spark)
+    b1 = similarity.add_lsh_bucket(df, dim=8, n_planes=4).select("vec_id", "lsh_bucket")
+    b2 = similarity.add_lsh_bucket(df, dim=8, n_planes=4).select("vec_id", "lsh_bucket")
+    assert sorted(map(tuple, b1.collect())) == sorted(map(tuple, b2.collect()))
+    buckets = {r.lsh_bucket for r in b1.collect()}
+    assert all(0 <= b < 16 for b in buckets)
+
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = similarity.lsh_bucketed_topk(df, queries, dim=8, k=5, n_planes=4).collect()
+    exact = similarity.cosine_topk(df, queries, k=30, exclude_self=True).collect()
+    exact_sims = {(r.query_id, r.vec_id): r.cosine_sim for r in exact}
+    # ANN results are true cosines of same-bucket candidates (recall < 1 ok)
+    for r in ann:
+        assert abs(exact_sims[(r.query_id, r.vec_id)] - r.cosine_sim) < 1e-9
+
+
+def test_embedding_near_dup_within_blocks(spark):
+    df, vecs = _vectors(spark)
+    planted = spark.createDataFrame(
+        [(100, vecs[0].tolist(), 0), (101, (vecs[0] * 2.0).tolist(), 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = similarity.embedding_near_dup_pairs(
+        df.unionByName(planted), threshold=0.999, block_col="label"
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 100) in found and (0, 101) in found and (100, 101) in found
+    # blocking respected: all pairs share a label (0 mod 3 == 100-group)
+    assert all(a % 3 == 0 or a >= 100 for a, _ in found)

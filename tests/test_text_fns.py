@@ -1,0 +1,76 @@
+"""Text-function unit tests, including the round-1 crash regression
+(word_shingles on texts shorter than k, ADVICE.md item 1)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mini_project_big_data_analysis_spark.functions import text_fns
+
+
+def _texts(spark, *rows):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(rows)], "id long, text string")
+
+
+def test_word_shingles_short_texts_yield_empty(spark):
+    # regression: sequence(1, n-k+1) descended for n < k and element_at threw
+    df = _texts(spark, "", "one", "two words", "exactly three tokens")
+    out = df.select(text_fns.word_shingles("text", 3).alias("s")).collect()
+    assert [r.s for r in out] == [[], [], [], ["exactly three tokens"]]
+
+
+def test_word_shingles_normal(spark):
+    df = _texts(spark, "a b c d")
+    out = df.select(text_fns.word_shingles("text", 2).alias("s")).collect()
+    assert out[0].s == ["a b", "b c", "c d"]
+
+
+def test_token_counts(spark):
+    df = _texts(spark, "hello world, 42 times!")
+    row = df.select(
+        text_fns.token_count_ws("text").alias("ws"),
+        text_fns.token_count_bpe("text").alias("bpe"),
+    ).collect()[0]
+    assert row.ws == 4
+    # hello | world | , | 42 | times | !
+    assert row.bpe == 6
+
+
+def test_stopword_and_punct_ratio(spark):
+    df = _texts(spark, "the cat and the hat")
+    r = df.select(
+        F.round(text_fns.stopword_ratio("text", "en"), 6).alias("stop"),
+        text_fns.punct_ratio("text").alias("punct"),
+    ).collect()[0]
+    assert r.stop == 0.6  # the, and, the of 5 tokens
+    assert r.punct == 0.0
+
+
+def test_language_id(spark):
+    df = _texts(
+        spark,
+        "the cat is in the house and it is happy",
+        "der Hund ist nicht in das Haus und",
+        "le chat est dans la maison et il est content",
+        "xyzzy plugh qwerty",
+    )
+    out = [r.lang for r in df.select(text_fns.language_id("text").alias("lang")).collect()]
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_collapses_formatting(spark):
+    df = _texts(spark, "Hello,   World!", "hello world", "different text")
+    fps = [
+        r.fp for r in df.select(text_fns.normalized_fingerprint("text").alias("fp")).collect()
+    ]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_quality_score_bounds(spark):
+    df = _texts(spark, "", "the a of and to in is it that for " * 30, "!!!???!!!")
+    rows = df.select(text_fns.quality_score("text").alias("q")).collect()
+    for r in rows:
+        assert 0.0 <= r.q <= 1.0
+    # stopword-rich long text should outscore pure punctuation
+    assert rows[1].q > rows[2].q
