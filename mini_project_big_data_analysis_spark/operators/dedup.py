@@ -46,24 +46,65 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _make_minhash_udf(num_hashes: int, shingle_k: int):
+    """Arrow-batched MinHash signature UDF (SURVEY.md §2.10: hashing is the
+    one sanctioned pandas_udf use in the dedup path).
+
+    Per doc: k-word shingles → one 64-bit base hash per shingle (md5 prefix)
+    → ``num_hashes`` multiply-shift draws ``a_i * h + b_i (mod 2^64)`` →
+    column-wise min, all vectorized in numpy. ~10× faster than both JVM
+    alternatives measured at sf0.1 (explode+64-agg: codegen-compile-bound;
+    transform/array_min projection: interpreted-HOF-bound). Deterministic:
+    seeded rng for (a, b), md5 for base hashes.
+
+    Docs with fewer than ``shingle_k`` tokens yield NULL (dropped by the
+    caller) — an empty set has no meaningful MinHash and would spuriously
+    band-match every other empty doc.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(1234)
+    A = rng.integers(1, 2**62, size=num_hashes, dtype=np.uint64) * 2 + 1  # odd
+    B = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_sig(texts):  # type: ignore[no-untyped-def]
+        out = []
+        for text in texts:
+            toks = text.split() if text else []
+            if len(toks) < shingle_k:
+                out.append(None)
+                continue
+            shingles = {
+                " ".join(toks[i : i + shingle_k])
+                for i in range(len(toks) - shingle_k + 1)
+            }
+            base = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                    for s in shingles
+                ),
+                dtype=np.uint64,
+                count=len(shingles),
+            )
+            with np.errstate(over="ignore"):
+                vals = A[:, None] * base[None, :] + B[:, None]  # (h, n) mod 2^64
+            out.append(vals.min(axis=1).view(np.int64))
+        return pd.Series(out)
+
+    return minhash_sig
+
+
 def _minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_k: int
 ) -> DataFrame:
-    """(id, signature array<bigint>) via min-over-shingles of seeded xxhash64.
-
-    One explode (rows × shingles) then one groupBy(id) computing all
-    ``num_hashes`` mins in a single aggregate — NOT num_hashes passes.
-    """
-    shingled = df.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("shingle")
-    )
-    min_cols = [
-        F.min(F.xxhash64(F.concat(F.lit(f"seed{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = shingled.groupBy(id_col).agg(*min_cols)
-    return sigs.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    """(id, signature array<bigint>), 1 row per doc with ≥ shingle_k tokens."""
+    sig_udf = _make_minhash_udf(num_hashes, shingle_k)
+    return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("signature")).filter(
+        F.col("signature").isNotNull()
     )
 
 
@@ -86,7 +127,15 @@ def minhash_lsh_pairs(
     Exact-Jaccard verification joins shingle sets only for candidate pairs.
     """
     rows_per_band = num_hashes // bands
-    sigs = _minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    spark = df.sparkSession
+    # Hashing cost is ~num_hashes × shingles per doc, far above scan cost —
+    # a single-file input would otherwise run it on one core. Repartition to
+    # cluster parallelism BEFORE the projection, and persist the (tiny,
+    # 1-row-per-doc) signatures: the banded self-join consumes them twice.
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    sigs = _minhash_signatures(
+        df.repartition(n_parts, id_col), id_col, text_col, num_hashes, shingle_k
+    ).persist()
 
     band_entries = sigs.select(
         F.col(id_col),
@@ -131,10 +180,16 @@ def _verify_jaccard(
     shingle_k: int,
     threshold: float,
 ) -> DataFrame:
-    """Exact Jaccard over distinct word-shingle sets for candidate pairs."""
-    shingle_sets = df.select(
+    """Exact Jaccard over distinct word-shingle sets for candidate pairs.
+
+    The shingle-set table feeds both sides of the pair join — persisted so
+    the (interpreted, higher-order-function) shingling runs once per doc,
+    not once per join side."""
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    shingle_sets = df.repartition(n_parts, id_col).select(
         F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_k)).alias("shingles")
-    )
+    ).persist()
     sa = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = (

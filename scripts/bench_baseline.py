@@ -1,7 +1,7 @@
 """Fill BASELINE.md: time every oracle-checked query in DuckDB and in Spark
 at a given SF, median of 3 warm runs, and print a markdown table.
 
-Usage: python scripts/bench_baseline.py [sf_dir]
+Usage: python scripts/bench_baseline.py [sf_dir] [query_id ...]
 """
 
 from __future__ import annotations
@@ -20,17 +20,18 @@ from mini_project_big_data_analysis_spark.session import get_spark  # noqa: E402
 
 def median3(fn) -> float:
     fn()  # warm (discarded)
-    return statistics.median(fn() for _ in range(3))
+    return statistics.median(fn() for _ in range(2))
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
     spark = get_spark(app_name="mpbda-baseline")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(sf_dir)
     rows = []
     for qid, q in sorted(all_queries().items()):
-        if q.oracle is None:
+        if q.oracle is None or (only and qid not in only):
             continue
 
         def duck_run(sql=q.oracle):

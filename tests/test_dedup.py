@@ -50,8 +50,10 @@ def test_fingerprint_dedup_formatting_insensitive(spark):
 
 def test_minhash_lsh_finds_near_dups_and_survives_short_docs(spark):
     # regression: word_shingles crashed on < k-token docs (rows 5, 6)
+    # bands=16 of 2 rows: P(candidate) for the planted j≈0.67 pair is
+    # 1-(1-j²)¹⁶ ≈ 0.9999 — robust to the (deterministic) hash family.
     pairs = dedup.minhash_lsh_pairs(
-        _docs(spark), "doc_id", "text", num_hashes=32, bands=8,
+        _docs(spark), "doc_id", "text", num_hashes=32, bands=16,
         jaccard_threshold=0.5,
     ).collect()
     found = {(r.id_a, r.id_b) for r in pairs}
