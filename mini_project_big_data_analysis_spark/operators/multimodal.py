@@ -111,3 +111,44 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("chunk_len", T.IntegerType()),
+        T.StructField("chunk", T.BinaryType()),
+    ]
+)
+
+
+def sample_chunks(media: DataFrame, chunk_bytes: int = 256) -> DataFrame:
+    """Fixed-size payload chunking via mapInPandas — the frame-sampling /
+    tiling plumbing for video/audio payloads (a real decoder replaces the
+    byte-slicing body; the Arrow batch shape, row multiplication, and
+    schema are exactly what it would use). Streams batches: a huge payload
+    column never materializes per-partition.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, lens, chunks = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, len(b), chunk_bytes):
+                    piece = b[i : i + chunk_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i // chunk_bytes)
+                    lens.append(len(piece))
+                    chunks.append(piece)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "chunk_len": pd.Series(lens, dtype="int32"),
+                    "chunk": pd.Series(chunks, dtype="object"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, CHUNK_SCHEMA)

@@ -1,0 +1,138 @@
+"""Advanced relational coverage beyond the reference's surface: window
+functions, grouping-set rollups, exact quantiles — the OLAP capabilities a
+user migrating from the reference's pandas dashboard would reach for next.
+
+ts-ordering note: events.ts is ns on disk, µs in Spark (sources/events.py).
+Window ORDER BY therefore uses date_trunc('microseconds', ts) on the DuckDB
+side so sub-µs differences can't produce different-but-both-valid rankings;
+event_id breaks remaining ties in BOTH engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT event_type,
+           CAST(strftime(ts, '%w') AS INT) AS dow,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(strftime(ts, '%w') AS INT))
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals (event_type → day-of-week → grand total) in one
+    pass — ROLLUP grouping sets, the scalable form of the dashboard's
+    nested-subtotal views."""
+    ev = load(spark, sf_dir, "events").withColumn("dow", F.dayofweek("ts") - 1)
+    return ev.rollup("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
+@register(
+    "window_latest_per_key",
+    """
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY date_trunc('microseconds', ts) DESC,
+                                         event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user (the dashboard's "last update" per entity,
+    app.py:156, generalized): row_number window, deterministic tiebreak.
+    Shuffles once on user_id — the partition key IS the window key."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT event_id,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY date_trunc('microseconds', ts),
+                                                   event_id), 6) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value delta vs previous event (lag) — NULL on each user's
+    first event."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+@register(
+    "agg_quartiles_exact",
+    """
+    SELECT round(q[1], 6) AS q25, round(q[2], 6) AS q50, round(q[3], 6) AS q75
+    FROM (SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS q FROM events)
+    """,
+)
+def agg_quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation quartiles (pandas describe() semantics,
+    analysis.ipynb:cell2:2). Exact percentile needs a per-group sort — fine
+    here; the 100 TB path is agg_quartiles_approx's sketch."""
+    ev = load(spark, sf_dir, "events")
+    q = F.percentile("value", F.lit([0.25, 0.5, 0.75]))
+    return ev.agg(
+        F.round(q[0], 6).alias("q25"),
+        F.round(q[1], 6).alias("q50"),
+        F.round(q[2], 6).alias("q75"),
+    )
+
+
+@register("agg_quartiles_approx", None)  # rows-only: sketch ≠ exact by design
+def agg_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quartiles via percentile_approx (KLL-style sketch): the
+    mergeable, single-pass form that replaces the exact sort at 100 TB."""
+    from ..operators.relational import approx_quartiles
+
+    return approx_quartiles(load(spark, sf_dir, "events"), "value")
+
+
+@register(
+    "fn_regex_extract",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           len(regexp_extract_all(text, '[0-9]+'))  AS n_numbers
+    FROM documents
+    """,
+)
+def fn_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex field extraction + match counting — codegen'd JVM regex, the
+    text-wrangling primitive the reference does in Python per-row."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.regexp_count("text", F.lit(r"[0-9]+")).alias("n_numbers"),
+    )

@@ -42,6 +42,37 @@ def ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_multimodal_chunks",
+    """
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    expanded AS (
+      SELECT doc_id, nb,
+             unnest(generate_series(0, CAST(ceil(nb / 256.0) AS BIGINT) - 1))
+               AS chunk_idx
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(least(256, nb - chunk_idx * 256) AS INT) AS chunk_len
+    FROM expanded
+    """,
+)
+def ext_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload chunking (frame-sampling plumbing) via mapInPandas; the
+    oracle checks the chunk geometry (index/length per doc) — the bytes
+    themselves are checked in unit tests."""
+    from ..operators.multimodal import attach_binary_payload, sample_chunks
+
+    media = attach_binary_payload(load(spark, sf_dir, "documents"))
+    return sample_chunks(media, chunk_bytes=256).select(
+        "doc_id", "chunk_idx", "chunk_len"
+    )
+
+
 @register("ext_multimodal_features", None)  # rows-only: entropy has no SQL mirror
 def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (streaming

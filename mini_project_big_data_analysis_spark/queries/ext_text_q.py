@@ -89,6 +89,52 @@ def ext_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_vocab_topk",
+    r"""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 100
+    """,
+)
+def ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k: explode tokens → hash-agg count → top-100.
+    Map-side partial aggregation collapses the token stream before the one
+    shuffle; orderBy+limit compiles to TakeOrderedAndProject (no full sort)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
+
+
+@register(
+    "ext_doc_len_histogram",
+    """
+    SELECT least(CAST(floor(n_chars / 100.0) AS BIGINT), 9) AS bucket,
+           count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def ext_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (100-char buckets, clamped at 9) — the
+    standard quality-filter diagnostic for a training corpus."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 100.0).cast("long"), F.lit(9).cast("long"))
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+@register(
     "ext_json_props",
     """
     SELECT event_id,

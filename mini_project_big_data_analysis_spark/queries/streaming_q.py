@@ -23,3 +23,14 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_tumbling_agg_availablenow
 
     return run_tumbling_agg_availablenow(spark, sf_dir)
+
+
+@register("stream_dedup", None)  # rows-only: streams have no SQL oracle
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming deduplication — dropDuplicates over a watermarked
+    stream (the exactly-once upgrade of the reference's at-least-once
+    consumer, SURVEY.md §2.8 delivery semantics: duplicates from replays
+    are eliminated by keyed state instead of reaching the sink)."""
+    from ..streaming.pipeline import run_stream_dedup_availablenow
+
+    return run_stream_dedup_availablenow(spark, sf_dir)

@@ -126,3 +126,34 @@ def run_tumbling_agg_availablenow(
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+def run_stream_dedup_availablenow(
+    spark: SparkSession, sf_dir: str, keys: tuple[str, ...] = ("user_id", "event_type")
+) -> DataFrame:
+    """Stateful streaming dedup to completion: watermarked
+    ``dropDuplicates`` keeps one state entry per key and emits each key's
+    first arrival only — replayed/duplicate deliveries (the reference's
+    at-least-once failure mode, consumer.py:21-23) never reach the sink.
+
+    The watermark bounds state: at 100 TB-scale ingest, keys older than the
+    watermark are evicted instead of accumulating forever.
+    """
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
+    stream = clean_event_stream(read_events_stream(spark, sf_dir))
+    deduped = (
+        stream.withWatermark("event_time", "1 hour")
+        .dropDuplicates([*keys])
+        .select(*keys, "event_id", "value")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

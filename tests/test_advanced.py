@@ -1,0 +1,52 @@
+"""Tests for window/rollup/chunking/stream-dedup coverage."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mini_project_big_data_analysis_spark.operators.multimodal import (
+    attach_binary_payload,
+    sample_chunks,
+)
+
+
+def test_sample_chunks_bytes_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 300), (2, "xy"), (3, "")], "doc_id long, text string"
+    )
+    out = sample_chunks(attach_binary_payload(df), chunk_bytes=256).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [c.chunk_len for c in sorted(by_doc[1], key=lambda c: c.chunk_idx)] == [256, 44]
+    assert b"".join(
+        bytes(c.chunk) for c in sorted(by_doc[1], key=lambda c: c.chunk_idx)
+    ) == b"a" * 300
+    assert by_doc[2][0].chunk_len == 2
+    assert 3 not in by_doc  # empty payload → no chunks
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+    from mini_project_big_data_analysis_spark.streaming.pipeline import (
+        run_stream_dedup_availablenow,
+    )
+    from mini_project_big_data_analysis_spark.sources.events import load_events
+
+    streamed = run_stream_dedup_availablenow(spark, sf_dir)
+    n_stream = streamed.count()
+    n_batch = (
+        load_events(spark, sf_dir).select("user_id", "event_type").distinct().count()
+    )
+    assert n_stream == n_batch
+    # one row per key, never more
+    dup = streamed.groupBy("user_id", "event_type").count().filter(F.col("count") > 1)
+    assert dup.isEmpty()
+
+
+def test_rollup_includes_grand_total(spark, sf_dir):
+    from mini_project_big_data_analysis_spark.queries.advanced_q import agg_rollup
+
+    rows = agg_rollup(spark, sf_dir).collect()
+    grand = [r for r in rows if r.event_type is None and r.dow is None]
+    assert len(grand) == 1
+    assert grand[0].n == sum(r.n for r in rows if r.event_type is not None and r.dow is not None)
