@@ -25,6 +25,44 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.vector_fns import cosine, dot, l2_normalize
 
 
+def _topk_per_query(
+    scored: DataFrame, query_id_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Distributed per-query top-k without shuffling the scored rows.
+
+    Two-phase: (1) top-k per (query, input partition) — grouping on
+    spark_partition_id means every group is wholly map-local, so the shuffle
+    carries only k·partitions rows per query; (2) merge the partial top-k
+    arrays per query. A row_number() window over the raw scores would
+    instead shuffle EVERY scored row on query_id — the full corpus per
+    query at 100 TB.
+
+    Sort key is struct(-cosine_sim, id): descending similarity, ascending id
+    tiebreak, exact float negation. Returns (query_id, id, cosine_sim, rank).
+    """
+    key = F.struct(
+        (-F.col("cosine_sim")).alias("neg_sim"), F.col(id_col).alias("id")
+    )
+    # NULL similarities (zero-norm vectors) would sort FIRST in array_sort's
+    # struct ordering — drop them, matching the old Window's desc-nulls-last.
+    scored = scored.filter(F.col("cosine_sim").isNotNull())
+    partial = (
+        scored.groupBy(F.col(query_id_col), F.spark_partition_id().alias("__part"))
+        .agg(F.slice(F.array_sort(F.collect_list(key)), 1, k).alias("topk"))
+    )
+    merged = partial.groupBy(query_id_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("topk"))), 1, k).alias("topk")
+    )
+    return merged.select(
+        query_id_col, F.posexplode("topk").alias("__pos", "__e")
+    ).select(
+        query_id_col,
+        F.col("__e.id").alias(id_col),
+        (-F.col("__e.neg_sim")).alias("cosine_sim"),
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+    )
+
+
 def cosine_topk(
     vectors: DataFrame,
     query: DataFrame,
@@ -39,10 +77,9 @@ def cosine_topk(
     ``query`` is expected to be small: ``crossJoin(broadcast(q))`` streams the
     corpus once past every query with no shuffle of the big side. Pass
     ``exclude_self=True`` when queries are drawn from the corpus (same id
-    space) to drop the trivial self-match. Per-query ranking uses a Window
-    partitioned by query id — fine while #queries is small; with many queries
-    the partition count grows with them, so no single-partition skew.
-    Ties broken by id so results are deterministic.
+    space) to drop the trivial self-match. Ranking uses the two-phase
+    ``_topk_per_query`` — only k·partitions rows per query ever shuffle,
+    never the scored corpus. Ties broken by id so results are deterministic.
     """
     q = F.broadcast(query.select(F.col(query_id_col), F.col(vec_col).alias("qvec")))
     scored = vectors.crossJoin(q)
@@ -51,16 +88,7 @@ def cosine_topk(
     scored = scored.withColumn(
         "cosine_sim", F.round(cosine(vec_col, "qvec"), 6)
     ).select(query_id_col, id_col, "cosine_sim")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine_sim"), F.asc(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine_sim", "rank")
-    )
+    return _topk_per_query(scored, query_id_col, id_col, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -123,15 +151,9 @@ def lsh_bucketed_topk(
         bucketed.join(F.broadcast(qb), on="lsh_bucket")
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn("cosine_sim", F.round(cosine(vec_col, "qvec"), 6))
+        .select(query_id_col, id_col, "cosine_sim")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine_sim", "rank")
-    )
+    return _topk_per_query(scored, query_id_col, id_col, k)
 
 
 def embedding_near_dup_pairs(
