@@ -49,6 +49,9 @@ def main() -> int:
         "ext_text_stats",
         "ext_lang_quality",
         "ext_emb_neardup",
+        "agg_session_window",
+        "window_latest_per_key",
+        "ext_vocab_topk",
     ]
     registry = all_queries()
 

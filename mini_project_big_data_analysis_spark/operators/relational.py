@@ -82,6 +82,39 @@ def dim_lookup(
     )
 
 
+def salted_equi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join (SURVEY.md §4.4): append a deterministic
+    salt in [0, salt) to the fact side (hash of all its columns, so rows of
+    one hot key scatter) and replicate the dim side ×salt, then join on
+    (key, salt). Output is identical to the plain join; the hot key's rows
+    land on ``salt`` reducers instead of one.
+
+    Use when a known skewed key overwhelms AQE's runtime skew splitting
+    (e.g. the NULL/default bucket of a dimension). Cost: dim inflates
+    ×salt — only appropriate for broadcast-size-ish dims or modest salt.
+    """
+    fact_salted = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt))
+    )
+    dim_salted = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = fact_salted.join(
+        dim_salted,
+        on=[fact_salted[fact_key] == dim_salted[dim_key],
+            fact_salted["__salt"] == dim_salted["__salt"]],
+        how=how,
+    )
+    return joined.drop("__salt")
+
+
 def value_counts(df: DataFrame, col: str) -> DataFrame:
     """Frequency table (app.py:144-146): (value, count) sorted count-desc,
     value-asc tiebreak for determinism."""

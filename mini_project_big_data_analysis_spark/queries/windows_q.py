@@ -1,0 +1,154 @@
+"""Event-time windowing beyond tumbling (SURVEY.md §2.8 noted these as free
+built-ins): session windows (gap-based) and sliding windows, both batch
+queries with exact SQL oracles, plus a salted-join demonstration of the skew
+playbook (SURVEY.md §4.4).
+
+Session-window oracle: classic gaps-and-islands — a session breaks when the
+gap to the previous event is >= the timeout (session_window extends a
+session to last_event + gap, exclusive), islands numbered by a running sum
+of breaks. Sliding-window oracle: a duration/slide-window membership is
+enumerable (duration/slide shifted tumbling groupings UNION ALL'd).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN date_trunc('microseconds', ts)
+                   - lag(date_trunc('microseconds', ts))
+                     OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id
+                        ORDER BY date_trunc('microseconds', ts)
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM ordered
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM islands
+GROUP BY user_id, sess
+"""
+
+
+@register("agg_session_window", _SESSION_ORACLE)
+def agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap —
+    ``session_window`` merges events whose gap is < the timeout; one shuffle
+    on (user, session). The dashboard's 'visit' analytics at scale."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "avg_value")
+    )
+
+
+_SLIDING_ORACLE = """
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM (
+  SELECT date_trunc('hour', ts) AS w, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS w, value FROM events
+)
+GROUP BY w
+"""
+
+
+@register("agg_sliding_window", _SLIDING_ORACLE)
+def agg_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour: every event lands in (duration /
+    slide) = 2 windows. The oracle enumerates the same membership as two
+    shifted tumbling groupings.
+
+    The Spark window() generator is the plan to beat: it expands each row
+    ×2 THEN aggregates — same row multiplication the UNION ALL oracle does,
+    but fused into one Expand node (no second scan)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # order-exact aggregates only: the UNION-ALL oracle sums in a
+            # different order and this data's window-avgs sit exactly on
+            # rounding boundaries (1-ulp flips observed at 6dp AND 4dp);
+            # avg parity for windows is already pinned by agg_time_window.
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@register(
+    "join_salted_skew",
+    """
+    SELECT n.n_name,
+           count(*) AS n_rows,
+           round(avg(c.c_acctbal), 4) AS avg_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join: the fact side's hot keys are spread over
+    ``salt`` sub-keys (deterministic hash of the row), the dim side is
+    replicated ×salt — so a single pathological key occupies ``salt``
+    reducers instead of one. Result-identical to the plain join (the oracle
+    proves it); AQE's skew splitting is the automatic fallback, salting is
+    the explicit control."""
+    from ..operators.relational import salted_equi_join
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    joined = salted_equi_join(c, n, "c_nationkey", "n_nationkey", salt=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
+@register(
+    "src_csv_roundtrip",
+    "SELECT r_regionkey, r_name FROM region",
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema'd CSV source (source-format breadth: parquet/JSON/
+    CSV all covered). Explicit schema on read — no inference job."""
+    import os
+    import tempfile
+    import uuid
+
+    region = load(spark, sf_dir, "region")
+    path = os.path.join(
+        tempfile.gettempdir(), "mpbda_spark_sink", f"csv_{uuid.uuid4().hex}"
+    )
+    region.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema("r_regionkey INT, r_name STRING").option(
+        "header", "true"
+    ).csv(path)

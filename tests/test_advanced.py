@@ -50,3 +50,43 @@ def test_rollup_includes_grand_total(spark, sf_dir):
     grand = [r for r in rows if r.event_type is None and r.dow is None]
     assert len(grand) == 1
     assert grand[0].n == sum(r.n for r in rows if r.event_type is not None and r.dow is not None)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from mini_project_big_data_analysis_spark.operators.relational import (
+        salted_equi_join,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    salted = salted_equi_join(c, n, "c_nationkey", "n_nationkey", salt=4)
+    plain = c.join(n, c.c_nationkey == n.n_nationkey)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_lsh_bucketed_corpus_partition_prunes(spark, tmp_path):
+    """The ANN scale claim: a corpus written partitioned by lsh_bucket lets a
+    single-bucket query prune partitions at the scan."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from mini_project_big_data_analysis_spark.operators.similarity import (
+        add_lsh_bucket,
+    )
+    from mini_project_big_data_analysis_spark.plans.checks import explain_str
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist()) for i in range(200)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "bucketed_corpus")
+    add_lsh_bucket(vecs, dim=8, n_planes=3).write.partitionBy("lsh_bucket").parquet(path)
+
+    corpus = spark.read.parquet(path)
+    one_bucket = corpus.filter(F.col("lsh_bucket") == 3)
+    plan = explain_str(one_bucket)
+    assert "PartitionFilters" in plan
+    partition_filters = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "lsh_bucket" in partition_filters  # pruned at the scan, not after
+    n_read = one_bucket.count()
+    total = corpus.count()
+    assert 0 < n_read < total
