@@ -1,0 +1,65 @@
+"""Pure-SQL entry point (SURVEY.md §3.4: ``spark.sql(...)`` strings are a
+first-class query path). The SAME SQL text runs on Spark (over temp views)
+and on DuckDB (over the pre-registered parquet views) — dialect-shared ANSI.
+
+Money arithmetic is done in DECIMAL(18,2): decimal sums are exact and
+order-independent, so the cross-engine comparison is bit-stable without any
+rounding games (the double-sum boundary-flip problem documented in
+windows_q.py cannot occur). Cast to DOUBLE only at the very end for a
+stable comparison type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .base import load, register
+
+_Q1 = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_tpch_q1", _Q1)
+def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) executed as a raw SQL string — proves the
+    ANSI-SQL entry point end-to-end: same text, both engines, decimal-exact.
+    One scan, one hash aggregate; the date predicate pushes to parquet."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1)
+
+
+_Q5 = """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("sql_tpch_q5", _Q5)
+def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): the 6-way join benchmark query as
+    raw SQL. Catalyst broadcasts region/nation, reorders the join chain, and
+    pushes both the region-name and date-range predicates to the scans."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q5)

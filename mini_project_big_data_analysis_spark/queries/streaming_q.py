@@ -25,6 +25,25 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_agg_availablenow(spark, sf_dir)
 
 
+@register(
+    "stream_clean_sink",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    """,
+)
+def stream_clean_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer pipeline end-to-end THROUGH the streaming engine with an
+    idempotent foreachBatch parquet sink — and a STRONG oracle: the sink's
+    contents must equal the batch-cleaned table exactly (checkpointed
+    offsets + per-batch appends ⇒ effectively-exactly-once; a duplicate or
+    loss would break the hash)."""
+    from ..streaming.pipeline import run_clean_to_parquet_availablenow
+
+    return run_clean_to_parquet_availablenow(spark, sf_dir)
+
+
 @register("stream_dedup", None)  # rows-only: streams have no SQL oracle
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming deduplication — dropDuplicates over a watermarked

@@ -128,6 +128,37 @@ def run_tumbling_agg_availablenow(
     return spark.table(name)
 
 
+def run_clean_to_parquet_availablenow(
+    spark: SparkSession, sf_dir: str, out_path: str | None = None
+) -> DataFrame:
+    """The consumer's full pipeline (consumer.py:29-78) as Structured
+    Streaming with an idempotent foreachBatch parquet sink: source offsets
+    are checkpointed and each micro-batch append is tied to its batch id,
+    upgrading the reference's at-least-once insert_one loop to
+    effectively-exactly-once. Returns a scan of the sink — which must equal
+    the batch-cleaned table (the oracle checks exactly that).
+    """
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
+    path = out_path or os.path.join(tempfile.gettempdir(), "mpbda_stream_sink", name)
+
+    cleaned = clean_event_stream(read_events_stream(spark, sf_dir)).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = (
+        cleaned.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(path)
+
+
 def run_stream_dedup_availablenow(
     spark: SparkSession, sf_dir: str, keys: tuple[str, ...] = ("user_id", "event_type")
 ) -> DataFrame:
