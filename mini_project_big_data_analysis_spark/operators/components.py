@@ -1,0 +1,69 @@
+"""Connected components over near-duplicate pair graphs.
+
+The last stage of a dedup funnel: pair lists (from MinHash / SimHash /
+n-gram Jaccard) are edges; a training pipeline needs the *transitive*
+closure — if A≈B and B≈C, keep one canonical doc of {A,B,C} — which is
+connected components with the min doc id as the component label.
+
+Algorithm: iterative label propagation (each node takes the min label in
+its closed neighborhood, repeat until fixpoint). Driver-side loop with a
+convergence check is the sanctioned pattern for iterative algorithms on
+Spark (each iteration is one shuffle on node id; iterations ≤ graph
+diameter — near-dup clusters are shallow, so typically 2-4). Labels are
+persisted per iteration and the previous iteration unpersisted, so lineage
+stays O(1) instead of growing per loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component =
+    min node id reachable over undirected edges. Deterministic.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    labels = labels.persist()
+    labels.count()  # materialize iteration 0
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(sym.a.alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")

@@ -86,6 +86,48 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", block_words=8, threshold=0.3)
 
 
+_COMPONENTS_ORACLE = r"""
+WITH RECURSIVE keyed AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 8), ' ')
+           AS block_key,
+         list_distinct(string_split_regex(trim(text), '\s+')) AS words
+  FROM documents
+),
+edges AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.words, b.words))::DOUBLE
+        / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.3
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION
+  SELECT id_b AS a, id_a AS b FROM edges
+),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node
+)
+SELECT node, min(comp) AS comp FROM reach GROUP BY node
+"""
+
+
+@register("ext_dedup_components", _COMPONENTS_ORACLE)
+def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering: n-gram near-dup pairs as edges →
+    connected components (min-id label) via iterative label propagation —
+    Spark's driver-loop-per-iteration pattern, checked against a DuckDB
+    recursive-CTE transitive closure."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, "doc_id", "text", block_words=8, threshold=0.3)
+    return connected_components(edges, "id_a", "id_b")
+
+
 @register("ext_dedup_fuzzy", None)  # rows-only: xxhash64 seeds not in DuckDB
 def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified (the scale path:

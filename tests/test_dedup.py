@@ -88,3 +88,20 @@ def test_simhash_pairs_hamming(spark):
     assert found[(1, 2)] == 0  # identical text → identical simhash
     assert found[(1, 3)] == 2 and found[(2, 3)] == 2
     assert not any(4 in p for p in found)
+
+
+def test_connected_components_transitive(spark):
+    from mini_project_big_data_analysis_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    out = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,       # 4-node chain collapses to min id
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
