@@ -38,6 +38,24 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cube",
+    """
+    SELECT event_type,
+           CAST(strftime(ts, '%w') AS INT) AS dow,
+           count(*) AS n
+    FROM events
+    GROUP BY CUBE(event_type, CAST(strftime(ts, '%w') AS INT))
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations (type×dow, type, dow, total) in one
+    pass — CUBE; like rollup, a single Expand + hash aggregate, not four
+    scans."""
+    ev = load(spark, sf_dir, "events").withColumn("dow", F.dayofweek("ts") - 1)
+    return ev.cube("event_type", "dow").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "window_latest_per_key",
     """
     SELECT user_id, event_id,

@@ -135,6 +135,40 @@ def ext_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_pii_scrub",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[0-9]+'))                     AS n_num_spans,
+           md5(regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]+', '<NUM>', 'g'))                              AS redacted_md5,
+           length(regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]+', '<NUM>', 'g'))                              AS redacted_len
+    FROM documents
+    """,
+)
+def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: email/number spans replaced with
+    typed placeholders — pure codegen'd regexp_replace, verified via md5 of
+    the redacted text (so the oracle checks the full output string without
+    hauling it through the comparator)."""
+    docs = load(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", email, "<EMAIL>"), r"[0-9]+", "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[0-9]+")).alias("n_num_spans"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+@register(
     "ext_json_props",
     """
     SELECT event_id,
