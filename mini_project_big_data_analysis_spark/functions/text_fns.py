@@ -74,7 +74,13 @@ def quality_score(text: Column | str) -> Column:
 
 def language_id(text: Column | str) -> Column:
     """Heuristic language ID: the language whose stopword-hit-rate is highest;
-    'und' (undetermined) when nothing hits. Scales as a single projection.
+    'und' (undetermined) when nothing hits.
+
+    NOTE: as a single Column this inlines every stopword_ratio into one
+    expression tree (the chained when() repeats best_score at every level —
+    ~74 split() calls per row in the optimized plan). Fine for ad-hoc use on
+    small frames; for a corpus-scale pass use :func:`with_lang_quality`,
+    which stages the tokenization so it runs once per row.
     """
     scores = [(lang, stopword_ratio(text, lang)) for lang in STOPWORDS]
     # greatest-of via chained when(): deterministic tie-break by dict order.
@@ -83,6 +89,77 @@ def language_id(text: Column | str) -> Column:
     for lang, score in reversed(scores):
         expr = F.when((best_score > 0) & (score == best_score), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def _contains(arr: Column):
+    # single-param lambda from a factory: a two-param lambda would receive
+    # the ARRAY INDEX as its second argument (PySpark higher-order contract)
+    return lambda t: F.array_contains(arr, t)
+
+
+def with_lang_quality(
+    df,
+    text_col: str = "text",
+    lang_out: str = "lang_guess",
+    quality_out: str = "quality",
+):
+    """Corpus-scale language-ID + quality score: adds ``lang_out`` and
+    ``quality_out`` columns to ``df``.
+
+    Same semantics as ``language_id`` + ``quality_score`` (identical results,
+    same tie-break order) but staged across projections so the token array is
+    computed ONCE per row: split+lower → per-language hit counts (one pass
+    over the array each) → ratios → arg-max. Catalyst's CollapseProject keeps
+    the stages separate because the token array is referenced many times, so
+    the optimized plan contains a single split() — vs ~74 when the scalar
+    Columns are inlined into one select. The narrow all-projection pipeline
+    still fuses into one stage: this is a strictly smaller expression tree,
+    not extra passes over the data.
+    """
+    langs = list(STOPWORDS)
+    stops = {
+        lang: F.array(*[F.lit(s) for s in words]) for lang, words in STOPWORDS.items()
+    }
+    base = list(df.columns)
+    toks = F.transform(whitespace_tokens(text_col), lambda t: F.lower(t))
+    s1 = df.select(*base, toks.alias("__toks"))
+    s2 = s1.select(
+        *base,
+        F.size("__toks").alias("__n"),
+        *[
+            F.size(F.filter(F.col("__toks"), _contains(stops[lang]))).alias(
+                f"__hits_{lang}"
+            )
+            for lang in langs
+        ],
+    )
+    s3 = s2.select(
+        *base,
+        *[
+            (F.col(f"__hits_{lang}") / F.greatest(F.col("__n"), F.lit(1))).alias(
+                f"__r_{lang}"
+            )
+            for lang in langs
+        ],
+    )
+    s4 = s3.select(
+        *base,
+        *[f"__r_{lang}" for lang in langs],
+        F.greatest(*[F.col(f"__r_{lang}") for lang in langs]).alias("__best"),
+    )
+    guess = F.lit("und")
+    for lang in reversed(langs):
+        guess = F.when(
+            (F.col("__best") > 0) & (F.col(f"__r_{lang}") == F.col("__best")),
+            F.lit(lang),
+        ).otherwise(guess)
+    c = F.col(text_col)
+    nchars = F.length(c).cast("double")
+    length_term = F.least(nchars / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    stop_term = F.least(F.col("__r_en") * 5.0, F.lit(1.0))
+    quality = F.round((length_term + punct_term + stop_term) / 3.0, 6)
+    return s4.select(*base, guess.alias(lang_out), quality.alias(quality_out))
 
 
 def normalized_fingerprint(text: Column | str) -> Column:

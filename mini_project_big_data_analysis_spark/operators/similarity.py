@@ -25,6 +25,19 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.vector_fns import cosine, dot, l2_normalize
 
 
+def _spread(vectors: DataFrame) -> DataFrame:
+    """Raise input parallelism to the session default when the scan produced
+    fewer partitions (a single parquet file reads as ONE partition locally —
+    the non-codegen higher-order cosine would then run on one core). At
+    cluster scale the scan has >= defaultParallelism splits and this is a
+    no-op branch — no shuffle is added on the 100 TB path."""
+    sc = vectors.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if vectors.rdd.getNumPartitions() < target:
+        return vectors.repartition(target)
+    return vectors
+
+
 def _topk_per_query(
     scored: DataFrame, query_id_col: str, id_col: str, k: int
 ) -> DataFrame:
@@ -82,7 +95,7 @@ def cosine_topk(
     never the scored corpus. Ties broken by id so results are deterministic.
     """
     q = F.broadcast(query.select(F.col(query_id_col), F.col(vec_col).alias("qvec")))
-    scored = vectors.crossJoin(q)
+    scored = _spread(vectors).crossJoin(q)
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     scored = scored.withColumn(
@@ -139,7 +152,7 @@ def lsh_bucketed_topk(
     ≤ 1 neighborhood) — deliberately not the default, to keep the scan
     fraction 1/2^n_planes.
     """
-    bucketed = add_lsh_bucket(vectors, dim, n_planes, vec_col, seed)
+    bucketed = add_lsh_bucket(_spread(vectors), dim, n_planes, vec_col, seed)
     qb = add_lsh_bucket(
         query.select(F.col(query_id_col), F.col(vec_col).alias("qvec")),
         dim,

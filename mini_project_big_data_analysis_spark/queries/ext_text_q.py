@@ -78,13 +78,13 @@ FROM scored
 @register("ext_lang_quality", _lang_oracle())
 def ext_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID (stopword-hit-rate heuristic) + composite quality score —
-    the full formulas mirrored in SQL, including the tie-break order."""
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        "lang",
-        text_fns.language_id("text").alias("lang_guess"),
-        text_fns.quality_score("text").alias("quality"),
+    the full formulas mirrored in SQL, including the tie-break order. Uses
+    the staged ``with_lang_quality`` frame pass (tokens split once per row;
+    the inlined scalar-Column form re-split the text ~74× and its oversized
+    codegen unit ran 40× slower on the sf0.1 corpus)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return text_fns.with_lang_quality(docs).select(
+        "doc_id", "lang", "lang_guess", "quality"
     )
 
 

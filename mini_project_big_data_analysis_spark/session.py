@@ -52,7 +52,12 @@ def get_spark(
         # Partitions sized for executor memory at scale (SURVEY.md §4.4);
         # 128 MiB is the parquet-friendly default and what we'd ship at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] runs 32 concurrent tasks inside the driver JVM: an 8g
+        # heap GC-thrashes once the pandas-UDF-heavy queries have churned the
+        # old gen (measured: later queries inflate 10-40×). 48g on the
+        # 128 GiB build box keeps headroom for 32 Python workers. On a real
+        # cluster executor memory comes from spark-submit, not this default.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
