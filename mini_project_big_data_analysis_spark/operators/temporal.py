@@ -1,0 +1,73 @@
+"""Temporal joins (training-pipeline layer; not in the reference — its only
+time handling is per-row offset arithmetic, consumer.py:59-61).
+
+``asof_join_backward`` aligns each left row with the most recent right row at
+or before its timestamp — the canonical "enrich events with the latest
+snapshot/config/price as of event time" operator. Spark has no ASOF JOIN
+builtin (DuckDB/Pandas do), but the semantics decompose into existing
+operators with ONE shuffle:
+
+    union(tagged left, tagged right)
+      → window last(right_payload, ignorenulls) over
+          (partition by key order by (time, side) rows unbounded preceding)
+      → filter side = left
+
+Both sides shuffle once on the join key and are sorted within partitions —
+the same cost as a sort-merge join, with no range-explosion. A windowed
+equi-range join (join on key AND time between t-Δ and t) would multiply rows;
+this never does. Skewed keys hurt exactly like any keyed shuffle — salt the
+key upstream if one entity dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """Left as-of join: every ``left`` row keeps the ``right_vals`` of the
+    latest ``right`` row with the same key and ``right_time <= left_time``
+    (NULLs when no such row exists).
+
+    ``right`` must be unique per (key, time) — pre-aggregate it otherwise
+    (ties would be broken by sort instability, not semantics). At equal
+    timestamps the right row wins (<= semantics): right rows sort before
+    left rows at the same instant.
+    """
+    lstruct = F.struct(*[F.col(c) for c in left.columns])
+    rstruct = F.struct(*[F.col(c) for c in right_vals])
+    l_tagged = left.select(
+        F.col(left_key).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        lstruct.alias("__l"),
+        F.lit(None).cast(right.select(rstruct.alias("__r")).schema["__r"].dataType).alias("__r"),
+    )
+    r_tagged = right.select(
+        F.col(right_key).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(left.select(lstruct.alias("__l")).schema["__l"].dataType).alias("__l"),
+        rstruct.alias("__r"),
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).withColumn(
+        "__rlast", F.last("__r", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"__rlast.{c}").alias(c) for c in right_vals
+    ]
+    return filled.filter(F.col("__side") == 1).select(*out_cols)

@@ -198,3 +198,48 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.subtract(s)
+
+
+@register(
+    "join_bucketed",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_orders,
+           round(avg(o.o_totalprice), 4) AS avg_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join: orders and customer both written
+    bucketed+sorted by custkey (8 buckets), then equi-joined — the physical
+    plan has NO Exchange and NO Sort on either side (asserted in
+    tests/test_plans.py). At 100 TB this is THE recurring-join strategy:
+    pay one bucketed write, then every subsequent join on that key is
+    map-side. Result-identical to the plain shuffle join (the oracle)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.writers import write_bucketed_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "mpbda_spark_bucketed")
+    t_orders, t_cust = f"mpbda_orders_b_{tag}", f"mpbda_customer_b_{tag}"
+    write_bucketed_table(
+        load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        t_orders, "o_custkey", 8, os.path.join(base, t_orders),
+    )
+    write_bucketed_table(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        t_cust, "c_custkey", 8, os.path.join(base, t_cust),
+    )
+    o, c = spark.table(t_orders), spark.table(t_cust)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )

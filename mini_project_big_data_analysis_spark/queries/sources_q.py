@@ -81,3 +81,36 @@ def snk_append_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df.write.mode("append").parquet(path)
     return spark.read.parquet(path)
+
+
+@register(
+    "snk_partitioned_write",
+    """
+    SELECT event_id, user_id, event_type, round(value, 6) AS value_r
+    FROM events
+    WHERE ts::DATE = (SELECT min(ts::DATE) FROM events)
+    """,
+)
+def snk_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned sink + pruned scan-back: events written
+    ``partitionBy(event_date)``, then read filtering one partition. The
+    filter resolves to PartitionFilters at planning time — only 1 of ~30
+    date directories is ever opened (the read path of the 100 TB layout;
+    see tests/test_plans.py for the pruning assertion). The partition value
+    is the corpus's min date, computed as a driver-side scalar — a literal
+    partition predicate is exactly what makes static pruning possible."""
+    from ..sources.writers import write_partitioned
+
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    path = os.path.join(
+        tempfile.gettempdir(), "mpbda_spark_sink", f"part_{uuid.uuid4().hex}"
+    )
+    write_partitioned(ev, path, ["event_date"])
+    min_date = ev.agg(F.min("event_date")).collect()[0][0]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("event_date") == F.lit(min_date))
+        .select(
+            "event_id", "user_id", "event_type", F.round("value", 6).alias("value_r")
+        )
+    )

@@ -1,0 +1,83 @@
+"""Temporal operators: backward as-of join and per-key rolling aggregates.
+
+Neither exists in the reference (it has no cross-record time logic at all);
+both are core capabilities of a time-series / training-data pipeline and both
+have exact SQL oracles — DuckDB's native ASOF JOIN for the as-of (an
+independent implementation, which is exactly what a differential check
+wants), a ROWS-frame window for the rolling mean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+_ASOF_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       o.last_orderkey
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+@register("join_asof", _ASOF_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event annotated with the user's most recent
+    order at or before the event time. Orders are pre-deduped to one row per
+    (custkey, date) (max orderkey — both engines pin the same tie-break).
+    One shuffle on the key; see operators/temporal.py for why this beats a
+    range join at scale. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.temporal import asof_join_backward
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    joined = asof_join_backward(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_vals=["last_orderkey"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "last_orderkey",
+    )
+
+
+_ROLLING_ORACLE = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             6) AS roll_avg
+FROM events
+"""
+
+
+@register("window_rolling_avg", _ROLLING_ORACLE)
+def window_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling mean over the trailing 7 events (ROWS frame, exact
+    row-count semantics — order pinned by (ts, event_id)). One shuffle on
+    user_id; the frame is computed in a single sorted pass per partition."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("roll_avg"),
+    )

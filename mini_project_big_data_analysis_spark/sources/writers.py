@@ -34,6 +34,38 @@ def json_roundtrip(df: DataFrame, schema_ddl: str) -> DataFrame:
     return encoded.select(F.from_json("value", schema_ddl).alias("row")).select("row.*")
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-layout partitioned parquet write (``path/col=value/...``) — the
+    100 TB table layout: a reader filtering on a partition column scans only
+    matching directories (partition pruning happens at planning time, before
+    any file I/O). Pair with date-derived columns for time-series data.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> None:
+    """Bucketed + sorted table write: rows are hash-distributed into
+    ``n_buckets`` files per partition by ``bucket_col`` and sorted within
+    each. Two tables bucketed the same way equi-join WITHOUT a shuffle (and
+    without a sort) — the co-located join that turns the biggest recurring
+    fact⋈fact cost at 100 TB into a map-side merge. Bucketing requires the
+    table catalog (``saveAsTable``); plain ``save(path)`` silently drops
+    bucket metadata.
+    """
+    writer = df.write.format("parquet").mode("overwrite")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.bucketBy(n_buckets, bucket_col).sortBy(bucket_col).saveAsTable(table)
+
+
 def write_and_read_back(spark: SparkSession, df: DataFrame, subdir: str | None = None) -> DataFrame:
     """Materialize through a parquet sink and scan the result — the testable
     form of the append sink (round-trips encoding, stats, and partitioning).

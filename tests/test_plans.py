@@ -50,3 +50,43 @@ def test_scan_prunes_columns(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
     schema = checks.scan_read_schema(li, "lineitem")
     assert "l_orderkey" in schema and "l_extendedprice" not in schema
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Both sides bucketed+sorted by the join key → the equi-join plan has
+    no Exchange and no Sort (the co-located-join property that matters at
+    100 TB; SURVEY.md §4.4)."""
+    from mini_project_big_data_analysis_spark.queries.joins_q import join_bucketed
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # at sf0.01 the dim is broadcast-sized and Spark rightly prefers that;
+    # disabling broadcast simulates the both-sides-large case bucketing is for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = join_bucketed(spark, sf_dir)
+        tree = checks.explain_str(df, "simple").splitlines()
+        join_at = [i for i, ln in enumerate(tree) if "MergeJoin" in ln or "ShuffledHashJoin" in ln]
+        assert join_at, "\n".join(tree)
+        # children of the join are below it in the tree: no Exchange feeds it
+        below = "\n".join(tree[join_at[0]:])
+        assert "Exchange" not in below, "\n".join(tree)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_partitioned_write_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column resolves to PartitionFilters (pruned
+    at planning, before any file I/O) — not a row-level data filter."""
+    from mini_project_big_data_analysis_spark.sources.writers import write_partitioned
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # raw read: ts is INT64 ns → keep as long; partition col derived from id
+    ev = ev.withColumn("bucket", (F.col("event_id") % 4).cast("int"))
+    path = str(tmp_path / "part_events")
+    write_partitioned(ev, path, ["bucket"])
+    back = spark.read.parquet(path).filter(F.col("bucket") == 2)
+    plan = checks.explain_str(back)
+    assert "PartitionFilters" in plan
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "bucket" in pf_line, plan
