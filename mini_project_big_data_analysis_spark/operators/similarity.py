@@ -169,6 +169,95 @@ def lsh_bucketed_topk(
     return _topk_per_query(scored, query_id_col, id_col, k)
 
 
+def _centroids_from_corpus(
+    vectors: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF centroids: the ``n_centroids`` lowest-id corpus
+    vectors. A k-means refinement would balance the cells better; sampling
+    corpus points is the standard cheap seeding (and is deterministic, so
+    plans and tests reproduce). Driver-side collect of n_centroids×dim
+    floats — kilobytes, broadcast-sized by construction."""
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i, list(r[1])) for i, r in enumerate(rows)]
+
+
+def _nearest_cells_udf(centroids: list[tuple[int, list[float]]], n_probe: int):
+    """Arrow-vectorized ``array<float> -> array<int>``: indices of the
+    ``n_probe`` nearest centroids by cosine, nearest first.
+
+    One numpy matmul per Arrow batch against a closure-captured (and thus
+    executor-broadcast, kilobyte-sized) normalized centroid matrix. This is
+    deliberately NOT expressed as 16 inlined ``aggregate``/``zip_with``
+    cosines over literal arrays: that variant built a multi-thousand-node
+    expression tree whose canonicalization sent Catalyst into minutes-long
+    optimization passes once aggregations stacked on top (observed live:
+    a 500-row query un-terminated at 280 s, vs ~5 s with this UDF), and the
+    higher-order functions don't whole-stage-codegen anyway."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray([c for _, c in centroids], dtype="float64")
+    norms = np.linalg.norm(cmat, axis=1)
+    cmat = cmat / np.where(norms == 0.0, 1.0, norms)[:, None]
+
+    def nearest_cells(vecs):
+        m = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
+        vn = np.linalg.norm(m, axis=1)
+        sims = (m / np.where(vn == 0.0, 1.0, vn)[:, None]) @ cmat.T
+        # stable argsort descending => deterministic lowest-cell tiebreak
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    # explicit (fn, returnType) form: module-level `from __future__ import
+    # annotations` stringifies hints, which the decorator can't resolve here
+    return pandas_udf(nearest_cells, "array<int>")
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is inverted-file-partitioned
+    by nearest centroid; each query probes only its ``n_probe`` closest
+    cells (scan fraction ≈ n_probe/n_centroids; recall grows with n_probe).
+
+    Cell assignment is a vectorized pandas UDF (one Arrow batch = one
+    matmul; see ``_nearest_cells_udf`` for why not inline expressions);
+    probing is a broadcast equi-join on cell id, and scoring the surviving
+    candidates is the same codegen'd relational ``cosine`` used by the
+    exact path. At 100 TB the corpus is written partitioned by ``ivf_cell``
+    and a query prunes partitions instead of scanning."""
+    centroids = _centroids_from_corpus(vectors, n_centroids, id_col, vec_col)
+    nearest1 = _nearest_cells_udf(centroids, 1)
+    corpus = _spread(vectors).select(
+        id_col, vec_col, F.element_at(nearest1(F.col(vec_col)), 1).alias("ivf_cell")
+    )
+    nearest_probe = _nearest_cells_udf(centroids, n_probe)
+    probes = query.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("qvec"),
+        F.explode(nearest_probe(F.col(vec_col))).alias("ivf_cell"),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), on="ivf_cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine_sim", F.round(cosine(vec_col, "qvec"), 6))
+        .select(query_id_col, id_col, "cosine_sim")
+    )
+    return _topk_per_query(scored, query_id_col, id_col, k)
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,

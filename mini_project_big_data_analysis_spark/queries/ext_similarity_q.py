@@ -92,3 +92,21 @@ def ext_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         emb, threshold=0.3, block_col="label", id_col="vec_id", vec_col="embedding"
     )
+
+
+@register("ext_sim_ivf", None)  # rows-only: data-dependent centroids not in SQL
+def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: corpus inverted-file-partitioned by nearest
+    of 16 sampled centroids; 5 queries probe their 4 closest cells (scan
+    fraction ~4/16). Recall vs the exact brute force is pinned in
+    tests/test_similarity.py (deterministic centroids => stable recall)."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=4,
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
+    )

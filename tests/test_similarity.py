@@ -88,3 +88,35 @@ def test_embedding_near_dup_within_blocks(spark):
     assert (0, 100) in found and (0, 101) in found and (100, 101) in found
     # blocking respected: all pairs share a label (0 mod 3 == 100-group)
     assert all(a % 3 == 0 or a >= 100 for a, _ in found)
+
+
+def test_ivf_topk_recall_and_exactness(spark):
+    df, vecs = _vectors(spark, n=60)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = similarity.ivf_topk(
+        df, queries, k=5, n_centroids=8, n_probe=3
+    ).collect()
+    exact = similarity.cosine_topk(df, queries, k=60, exclude_self=True).collect()
+    exact_sims = {(r.query_id, r.vec_id): r.cosine_sim for r in exact}
+    # every IVF hit carries the TRUE cosine (approximation is in candidate
+    # generation only, never in the score)
+    for r in ann:
+        assert abs(exact_sims[(r.query_id, r.vec_id)] - r.cosine_sim) < 1e-9
+    # deterministic centroids => stable recall; pin it
+    top5 = {}
+    for r in sorted(exact, key=lambda r: r.rank):
+        top5.setdefault(r.query_id, []).append(r.vec_id)
+    hits = total = 0
+    for qid in (0, 1, 2):
+        truth = set(top5[qid][:5])
+        got = {r.vec_id for r in ann if r.query_id == qid}
+        hits += len(truth & got)
+        total += 5
+    recall = hits / total
+    assert recall >= 0.5, f"IVF recall {recall} collapsed"
+    # probing 3/8 cells must not degenerate to a full scan: candidates seen
+    # per query are bounded well below the corpus
+    per_q = {qid: len([r for r in ann if r.query_id == qid]) for qid in (0, 1, 2)}
+    assert all(v <= 5 for v in per_q.values())
