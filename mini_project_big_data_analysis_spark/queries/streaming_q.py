@@ -53,3 +53,27 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_stream_dedup_availablenow
 
     return run_stream_dedup_availablenow(spark, sf_dir)
+
+
+@register(
+    "stream_stateful_stats",
+    """
+    SELECT event_type,
+           count(value) AS n_events,
+           round(sum(value), 6) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom user-defined stateful operator (applyInPandasWithState):
+    per-key running stats carried in explicit keyed state across
+    micro-batches. STRONG oracle: the final per-key emission must equal the
+    batch global aggregate — wrong state merge, lost batch, or double
+    processing all break the hash."""
+    from ..streaming.pipeline import run_stateful_running_stats
+
+    return run_stateful_running_stats(spark, sf_dir)

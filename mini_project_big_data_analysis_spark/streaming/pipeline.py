@@ -188,3 +188,88 @@ def run_stream_dedup_availablenow(
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+def run_stateful_running_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-``event_type`` running count/sum/min/max maintained in explicit
+    keyed state across micro-batches (the operator Spark's built-in
+    windowed aggs can't express — state the USER defines and carries
+    forward, SURVEY.md §2.8 stateful ops).
+
+    Each micro-batch the group emits its updated running totals; the
+    returned DataFrame keeps only each key's FINAL emission (largest
+    ``n_events``), which — because the running totals over the whole stream
+    equal the global aggregate — gives this stateful operator a STRONG
+    DuckDB oracle, batching-schedule-independent by construction.
+
+    State is one fixed-width tuple per key: bounded by key cardinality,
+    checkpointed with the query, mergeable across restarts — the 100 TB
+    posture is per-key state on the shuffle partition owning the key,
+    exactly how transformWithState scales.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s, mn, mx = state.get if state.exists else (0, 0.0, None, None)
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            if len(vals):
+                n += int(len(vals))
+                s += float(vals.sum())
+                mn = float(vals.min()) if mn is None else min(mn, float(vals.min()))
+                mx = float(vals.max()) if mx is None else max(mx, float(vals.max()))
+        state.update((n, s, mn, mx))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "min_value": [mn],
+                "max_value": [mx],
+            }
+        )
+
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
+    stream = clean_event_stream(read_events_stream(spark, sf_dir))
+    running = stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, n_events long, sum_value double, "
+            "min_value double, max_value double"
+        ),
+        stateStructType="n long, s double, mn double, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        running.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emissions = spark.table(name)
+    # final emission per key = the complete running totals (strong-oracle
+    # shape regardless of how the source split micro-batches)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
+    return (
+        emissions.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+    )
