@@ -196,3 +196,62 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
             " ", *[F.try_element_at(toks, (i + j).cast("int")) for j in range(k)]
         ),
     )
+
+
+def winnow_fingerprints(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+):
+    """Rolling-hash document fingerprinting by winnowing (Schleimer,
+    Wilkerson & Aiken 2003, SIGMOD — the public MOSS algorithm): hash every
+    ``k``-char gram, slide a ``w``-hash window over the sequence, keep each
+    window's minimum hash, dedupe. Two documents sharing ≥1 fingerprint
+    share a verbatim ``k``-char run; unlike ``normalized_fingerprint`` this
+    localizes *partial* overlap (plagiarism/containment), not whole-doc
+    equality.
+
+    Relational plan: posexplode the gram positions, codegen'd md5 per gram,
+    per-document ROWS-frame window min, distinct. One shuffle keyed on
+    ``id_col`` whose skew is bounded by max document length. (An in-row
+    variant — array_min over transform/slice — avoids even that shuffle but
+    forfeits whole-stage codegen for the md5 loop; explode+window measured
+    faster and is the scale default.) The gram hash is the first 8 hex chars
+    of md5 so an ANSI-SQL oracle reproduces it byte-for-byte.
+
+    Documents with fewer than ``k + w - 1`` chars produce no fingerprints
+    (no complete window exists) — guarded against Spark's descending
+    ``sequence(1, 0)`` surprise.
+
+    Returns distinct (id_col, fingerprint) rows.
+    """
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    n_grams = (F.length(t) - F.lit(k - 1)).alias("n_grams")
+    positions = F.when(
+        F.length(t) >= k, F.sequence(F.lit(1), F.length(t) - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        id_col,
+        t.alias("__t"),
+        n_grams,
+        F.posexplode(positions).alias("__pos", "i"),
+    )
+    hashed = grams.select(
+        id_col,
+        "n_grams",
+        "i",
+        F.substring(
+            F.md5(F.col("__t").substr(F.col("i"), F.lit(k))), 1, 8
+        ).alias("h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
+    return (
+        hashed.withColumn("fingerprint", F.min("h").over(win))
+        .filter(F.col("i") <= F.col("n_grams") - F.lit(w - 1))
+        .select(id_col, "fingerprint")
+        .distinct()
+    )

@@ -190,3 +190,32 @@ def ext_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 10).alias("k_mod"),
         F.when(k >= 50, F.lit("high")).otherwise(F.lit("low")).alias("k_band"),
     )
+
+
+_WINNOW_ORACLE = r"""
+    WITH pos AS (
+        SELECT doc_id, text, len(text) - 7 AS n_grams,
+               unnest(generate_series(1, greatest(len(text) - 7, 0))) AS i
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, n_grams, i,
+               substr(md5(substr(text, i::INT, 8)), 1, 8) AS h
+        FROM pos
+    ), wins AS (
+        SELECT doc_id, n_grams, i,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS fingerprint
+        FROM grams
+    )
+    SELECT DISTINCT doc_id, fingerprint FROM wins WHERE i <= n_grams - 3
+"""
+
+
+@register("ext_doc_winnow", _WINNOW_ORACLE)
+def ext_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (k=8-char grams,
+    w=4 window, MOSS-style): distinct (doc_id, fingerprint). STRONG oracle
+    — gram hashes are md5 prefixes, reproduced byte-for-byte in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    return text_fns.winnow_fingerprints(docs, k=8, w=4)

@@ -74,3 +74,27 @@ def test_quality_score_bounds(spark):
         assert 0.0 <= r.q <= 1.0
     # stopword-rich long text should outscore pure punctuation
     assert rows[1].q > rows[2].q
+
+
+def test_winnow_fingerprints_edges_and_overlap(spark):
+    from mini_project_big_data_analysis_spark.functions.text_fns import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                      # empty: no grams
+            (2, "abcdefg"),               # len 7 < k=8: no grams
+            (3, "abcdefgh"),              # exactly one gram < k+w-1: no window
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, "xx the quick brown fox jumps over the lazy dog yy"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(docs, k=8, w=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert 1 not in by_doc and 2 not in by_doc and 3 not in by_doc
+    # containment: doc 5 embeds doc 4 verbatim => shares fingerprints
+    assert by_doc[4] & by_doc[5]
