@@ -114,3 +114,28 @@ def snk_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "event_type", F.round("value", 6).alias("value_r")
         )
     )
+
+
+_WEATHER_POLL_ORACLE = """
+    SELECT printf('city_%02d', i) AS city,
+           c::INT AS cycle,
+           20.0 + ((7*i + 31*c) % 150) / 10.0 AS temperature,
+           (40 + (7*i + 31*c) * 3 % 55)::INT AS humidity,
+           (990 + (7*i + 31*c) * 5 % 40)::INT AS pressure,
+           (1700000000 + 300*c + 2*i)::BIGINT AS dt
+    FROM generate_series(0, 15) s(i), generate_series(0, 9) t(c)
+"""
+
+
+@register("src_python_datasource", _WEATHER_POLL_ORACLE)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's REST-poll producer as a custom Python Data Source
+    (PySpark 4 datasource API): schema declared up front, one input
+    partition per city (16-way parallel poll), deterministic synthetic
+    observations in place of the network call — which buys the byte-exact
+    arithmetic oracle. The streaming variant (poll-cycle offsets,
+    checkpoint-resumable) is exercised in tests/test_streaming_multimodal.py."""
+    from ..sources.weather_source import register_weather_source
+
+    register_weather_source(spark)
+    return spark.read.format("weather_poll").option("cycles", 10).load()

@@ -62,3 +62,31 @@ def test_extract_features_deterministic(spark):
     assert out[3].n_bytes == 0 and out[3].byte_entropy == 0.0
     assert out[2].head_hex == "61626364"
     assert math.isfinite(out[2].byte_entropy)
+
+
+def test_weather_poll_stream_offsets(spark, tmp_path):
+    from mini_project_big_data_analysis_spark.sources.weather_source import (
+        _observe,
+        register_weather_source,
+    )
+
+    register_weather_source(spark)
+    q = (
+        spark.readStream.format("weather_poll")
+        .option("max_cycles", 3)
+        .load()
+        .writeStream.format("memory")
+        .queryName("weather_poll_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("weather_poll_test").collect()
+    # whole sweeps only: each micro-batch is one 16-city poll cycle
+    assert len(rows) >= 16 and len(rows) % 16 == 0
+    got = {(r.city, r.cycle): (r.temperature, r.humidity, r.pressure, r.dt) for r in rows}
+    city, cycle, temp, hum, pres, dt = _observe(3, 0)
+    assert got[(city, cycle)] == (temp, hum, pres, dt)
