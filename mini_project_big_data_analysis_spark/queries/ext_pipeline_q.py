@@ -1,0 +1,130 @@
+r"""Training-data pipeline queries (SURVEY.md §2.9 extension family):
+deterministic split / stratified sample / dataset mix / sequence packing
+over the documents table (operators/pipeline.py).
+
+Every assignment below is a pure function of ``md5(doc_id || salt)`` — no
+RNG — so the DuckDB oracles reproduce each output byte-for-byte:
+``conv(substring(md5(x),1,8),16,10)`` (Spark) ≡
+``('0x' || substr(md5(x),1,8))::UBIGINT`` (DuckDB). Bucket cut points are
+precomputed integer literals on BOTH sides (Python ``int()`` truncates,
+DuckDB's double→BIGINT cast rounds — literals sidestep the difference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text_fns
+from ..operators import pipeline
+from .base import load, register
+
+_B = "(('0x' || substr(md5(doc_id::VARCHAR || '{salt}'), 1, 8))::UBIGINT)::BIGINT"
+
+
+_SPLIT_ORACLE = f"""
+    SELECT doc_id,
+           CASE WHEN {_B.format(salt='split-v1')} < 3435973836 THEN 'train'
+                WHEN {_B.format(salt='split-v1')} < 3865470566 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+
+@register("ext_split_hash", _SPLIT_ORACLE)
+def ext_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content hash — row-
+    local CASE over md5(doc_id||salt), no shuffle, no RNG; stable under
+    re-partitioning and incremental re-runs (new rows never move old ones).
+    The training-pipeline replacement for randomSplit, whose assignment
+    changes with partition placement."""
+    docs = load(spark, sf_dir, "documents")
+    return pipeline.hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id"
+    ).select("doc_id", "split")
+
+
+_SAMPLE_ORACLE = f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_B.format(salt='sample-v1')}
+          < CASE WHEN lang = 'en' THEN 429496729 ELSE 2147483648 END
+"""
+
+
+@register("ext_sample_stratified", _SAMPLE_ORACLE)
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: cap English at 10%, keep other
+    languages at 50% — the corpus-rebalancing step, as a row-local hash
+    filter that pipelines into the scan (no shuffle, pushdown intact)."""
+    docs = load(spark, sf_dir, "documents")
+    return pipeline.stratified_sample_hash(
+        docs, rates={"en": 0.1}, default_rate=0.5, strata_col="lang", id_col="doc_id"
+    ).select("doc_id", "lang")
+
+
+_MIX_ORACLE = f"""
+    SELECT doc_id, lang, 'web_en' AS mix_source
+    FROM documents
+    WHERE lang = 'en'
+      AND {_B.format(salt='mix-v1web_en')} < 2147483648
+    UNION ALL
+    SELECT doc_id, lang, 'multi' AS mix_source
+    FROM documents
+    WHERE lang <> 'en'
+      AND {_B.format(salt='mix-v1multi')} < 3865470566
+"""
+
+
+@register("ext_dataset_mix", _MIX_ORACLE)
+def ext_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture with provenance: 50% of the English slice +
+    90% of the multilingual slice, tagged by source leg. Each leg is a
+    row-local hash filter over its own scan; the union is plan-level
+    concatenation — no shuffle anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en")
+    multi = docs.filter(F.col("lang") != "en")
+    return pipeline.dataset_mix(
+        [("web_en", en, 0.5), ("multi", multi, 0.9)],
+        id_col="doc_id",
+        source_col="mix_source",
+    ).select("doc_id", "lang", "mix_source")
+
+
+_PACK_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               {_B.format(salt='pack-v1')} % 8 AS shard
+        FROM documents
+    ), placed AS (
+        SELECT doc_id, shard, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS pack_start
+        FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+           (pack_start // 256)::BIGINT AS pack_id,
+           (pack_start % 256)::BIGINT AS pack_offset,
+           (pack_start // 256) <> ((pack_start + n_tokens - 1) // 256)
+               AS spans_boundary
+    FROM placed
+"""
+
+
+@register("ext_token_pack", _PACK_ORACLE)
+def ext_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing ("concat then chunk" LM pretraining layout): docs
+    hash-sharded 8 ways, each shard concatenated in doc_id order and cut at
+    256-token boundaries; emits each doc's (shard, pack_id, pack_offset).
+    One shuffle (shard key) + per-shard window prefix-sum — shards pack
+    independently, so parallelism is n_shards regardless of corpus size."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", text_fns.token_count_ws("text")
+    )
+    return pipeline.pack_sequences(
+        docs, capacity=256, n_shards=8, token_col="n_tokens", id_col="doc_id"
+    )

@@ -1,0 +1,82 @@
+"""Training-data pipeline operators (operators/pipeline.py): determinism,
+fraction accuracy, and packing invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mini_project_big_data_analysis_spark.operators import pipeline
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+        (F.col("id") % 37 + 1).cast("long").alias("n_tokens"),
+    )
+
+
+def test_hash_split_fractions_and_determinism(spark):
+    docs = _docs(spark)
+    out = pipeline.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.7 < counts["train"] / 400 < 0.9  # binomial(400, .8) ±5σ
+    # determinism + partition-placement independence
+    again = pipeline.hash_split(docs.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).isEmpty()
+
+
+def test_hash_split_incremental_stability(spark):
+    """Adding new rows must not move any existing row's assignment."""
+    small = pipeline.hash_split(_docs(spark, 200), {"a": 0.5, "b": 0.5})
+    big = pipeline.hash_split(_docs(spark, 400), {"a": 0.5, "b": 0.5})
+    joined = small.alias("s").join(big.alias("b"), "doc_id").filter(
+        F.col("s.split") != F.col("b.split")
+    )
+    assert joined.isEmpty()
+
+
+def test_stratified_sample_rates(spark):
+    docs = _docs(spark, 600)
+    out = pipeline.stratified_sample_hash(
+        docs, rates={"en": 0.1}, default_rate=0.9, strata_col="lang", id_col="doc_id"
+    )
+    n_en = out.filter(F.col("lang") == "en").count()
+    n_de = out.filter(F.col("lang") == "de").count()
+    assert n_en / 200 < 0.25 and n_de / 400 > 0.75  # 0.1 and 0.9 ±5σ
+    assert out.count() == pipeline.stratified_sample_hash(
+        docs.repartition(5), rates={"en": 0.1}, default_rate=0.9,
+        strata_col="lang", id_col="doc_id",
+    ).count()
+
+
+def test_dataset_mix_provenance_and_weights(spark):
+    docs = _docs(spark, 500)
+    out = pipeline.dataset_mix(
+        [("all", docs, 1.0), ("half", docs, 0.5)], id_col="doc_id", source_col="src"
+    )
+    counts = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts["all"] == 500  # weight 1.0 keeps everything
+    assert 0.35 < counts["half"] / 500 < 0.65
+
+
+def test_pack_sequences_invariants(spark):
+    docs = _docs(spark, 300)
+    cap = 64
+    out = pipeline.pack_sequences(
+        docs, capacity=cap, n_shards=4, token_col="n_tokens", id_col="doc_id"
+    ).cache()
+    rows = out.collect()
+    assert len(rows) == 300  # every doc placed exactly once
+    for r in rows:
+        assert 0 <= r.pack_offset < cap
+        # a doc either fits its pack or is flagged as straddling the cut
+        assert (r.pack_offset + r.n_tokens <= cap) == (not r.spans_boundary)
+    # contiguity: within a shard (doc_id order) placements tile with no gaps
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        start = by_shard.get(r.shard, 0)
+        assert r.pack_id * cap + r.pack_offset == start
+        by_shard[r.shard] = start + r.n_tokens
+    out.unpersist()
