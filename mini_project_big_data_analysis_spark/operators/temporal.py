@@ -71,3 +71,39 @@ def asof_join_backward(
         F.col(f"__rlast.{c}").alias(c) for c in right_vals
     ]
     return filled.filter(F.col("__side") == 1).select(*out_cols)
+
+
+def range_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_sec: str,
+    right_sec: str,
+    band: int,
+) -> DataFrame:
+    """Pure range join (no equi key): all (left, right) pairs with
+    ``|left_sec - right_sec| <= band`` seconds.
+
+    A naive range join is a cross product with a theta filter —
+    BroadcastNestedLoopJoin, O(n·m), dead at scale. This is the banded
+    (bucketed) form: time is binned at ``band`` width, the right side keeps
+    its bin, the left side explodes to its bin ±1, and the join becomes an
+    *equi* join on bin id followed by the exact band filter. Every
+    qualifying pair differs by at most one bin, and each pair meets exactly
+    once (the right row's bin is unique). Cost: one shuffle on the bin key
+    and a 3× expansion of the left side — independent of total data size,
+    and skew-safe as long as no single band-width slice of time holds more
+    rows than an executor handles (AQE skew-split covers the rest).
+
+    Callers must pass distinct column names for ``left_sec``/``right_sec``
+    (the join keeps both sides' columns).
+    """
+    bin_l = F.floor(F.col(left_sec) / band)
+    lb = left.withColumn(
+        "__band_bin", F.explode(F.array(bin_l - 1, bin_l, bin_l + 1))
+    )
+    rb = right.withColumn("__band_bin", F.floor(F.col(right_sec) / band))
+    return (
+        lb.join(rb, on="__band_bin")
+        .filter(F.abs(F.col(left_sec) - F.col(right_sec)) <= band)
+        .drop("__band_bin")
+    )

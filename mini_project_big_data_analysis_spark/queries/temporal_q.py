@@ -81,3 +81,40 @@ def window_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.avg("value").over(w), 6).alias("roll_avg"),
     )
+
+
+_RANGE_BAND_ORACLE = """
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       (floor(epoch(b.ts)) - floor(epoch(a.ts)))::BIGINT AS dt_sec
+FROM events a, events b
+WHERE a.event_id < b.event_id
+  AND abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) <= 30
+"""
+
+
+@register("join_range_band", _RANGE_BAND_ORACLE)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): every pair of events within ±30 s of
+    each other. Banded execution (operators/temporal.py:range_band_join):
+    bin time at band width, explode one side to bin±1, equi-join on bin id,
+    exact filter — one shuffle on the bin key, never a cross product. The
+    oracle is DuckDB's native inequality join (its IEJoin), an independent
+    algorithm — exactly what a differential check wants."""
+    from ..operators.temporal import range_band_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    a = ev.select(
+        F.col("event_id").alias("id_a"), F.unix_timestamp("ts").alias("sec_a")
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"), F.unix_timestamp("ts").alias("sec_b")
+    )
+    return (
+        range_band_join(a, b, "sec_a", "sec_b", band=30)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("sec_b") - F.col("sec_a")).cast("bigint").alias("dt_sec"),
+        )
+    )

@@ -90,3 +90,23 @@ def test_lsh_bucketed_corpus_partition_prunes(spark, tmp_path):
     n_read = one_bucket.count()
     total = corpus.count()
     assert 0 < n_read < total
+
+
+def test_range_band_join_edges(spark):
+    from mini_project_big_data_analysis_spark.operators.temporal import range_band_join
+
+    a = spark.createDataFrame(
+        [(1, 100), (2, 500)], "id_a int, sec_a long"
+    )
+    b = spark.createDataFrame(
+        # 130 = exactly band away (kept), 131 = band+1 (dropped),
+        # 159/161: bin boundary at 160 with band=30 — 159 is caught only via
+        # the bin+1 explode leg, 161 is out of band
+        [(10, 130), (11, 131), (12, 159), (13, 70), (14, 500)],
+        "id_b int, sec_b long",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in range_band_join(a, b, "sec_a", "sec_b", band=30).collect()
+    }
+    assert got == {(1, 10), (1, 13), (2, 14)}
