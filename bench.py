@@ -52,6 +52,9 @@ def main() -> int:
         "agg_session_window",
         "window_latest_per_key",
         "ext_vocab_topk",
+        "ext_token_pack",
+        "ext_split_hash",
+        "join_range_band",
     ]
     registry = all_queries()
 

@@ -139,3 +139,22 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_weather_source(spark)
     return spark.read.format("weather_poll").option("cycles", 10).load()
+
+
+@register(
+    "src_orc_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan-back (source-format breadth: parquet/JSON/CSV/ORC —
+    every columnar/text format built into Spark). ORC carries its own
+    schema and column statistics, so the read needs no schema declaration
+    and predicate pushdown works the same as parquet's."""
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "mpbda_spark_sink", f"orc_{uuid.uuid4().hex}"
+    )
+    nation.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
