@@ -46,6 +46,18 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def minhash_constants(num_hashes: int):
+    """The seeded multiply-shift draws ``(a_i, b_i)`` shared by the MinHash
+    UDF and its SQL oracle (queries/ext_dedup_q.py builds a VALUES table
+    from the same arrays — one source of truth, no drift)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    a = rng.integers(1, 2**62, size=num_hashes, dtype=np.uint64) * 2 + 1  # odd
+    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
 def _make_minhash_udf(num_hashes: int, shingle_k: int):
     """Arrow-batched MinHash signature UDF (SURVEY.md §2.10: hashing is the
     one sanctioned pandas_udf use in the dedup path).
@@ -66,9 +78,7 @@ def _make_minhash_udf(num_hashes: int, shingle_k: int):
     import numpy as np
     import pandas as pd
 
-    rng = np.random.default_rng(1234)
-    A = rng.integers(1, 2**62, size=num_hashes, dtype=np.uint64) * 2 + 1  # odd
-    B = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    A, B = minhash_constants(num_hashes)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash_sig(texts):  # type: ignore[no-untyped-def]

@@ -128,10 +128,84 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, "id_a", "id_b")
 
 
-@register("ext_dedup_fuzzy", None)  # rows-only: xxhash64 seeds not in DuckDB
+def _minhash_oracle() -> str:
+    """Byte-exact SQL mirror of the MinHash-LSH pipeline.
+
+    Every stage is deterministic, so DuckDB reproduces it end-to-end: base
+    hash = little-endian md5 8-byte prefix (hex pairs reversed); the 64
+    multiply-shift draws come from :func:`operators.dedup.minhash_constants`
+    as a VALUES table; a·h+b (mod 2^64) is computed in HUGEINT via 32-bit
+    limbs (a full 64×64 product would overflow signed 128-bit); banding
+    compares raw 4-value signature slices — equivalent to the engine's
+    xxhash64 bucket equality modulo hash collisions, which the exact-Jaccard
+    verify step absorbs anyway.
+    """
+    from ..operators.dedup import minhash_constants
+
+    a, b = minhash_constants(64)
+    ab = ", ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)" for i in range(64)
+    )
+    return rf"""
+WITH ab(i, a, b) AS (VALUES {ab}),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+eligible AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 3),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i+2), ' ') AS sh
+  FROM eligible, LATERAL unnest(range(1, n - 1)) AS u(i)
+),
+based AS (
+  SELECT doc_id, sh,
+    ('0x' || substr(md5(sh),15,2) || substr(md5(sh),13,2) || substr(md5(sh),11,2)
+          || substr(md5(sh),9,2)  || substr(md5(sh),7,2)  || substr(md5(sh),5,2)
+          || substr(md5(sh),3,2)  || substr(md5(sh),1,2))::UBIGINT::HUGEINT AS h
+  FROM shingles
+),
+mins AS (
+  SELECT doc_id, ab.i AS i,
+    min((
+      (ab.a % 4294967296) * (h % 4294967296)
+      + (((ab.a % 4294967296) * (h // 4294967296)
+          + (ab.a // 4294967296) * (h % 4294967296)) % 4294967296) * 4294967296
+      + ab.b
+    ) % 18446744073709551616::HUGEINT) AS m
+  FROM based, ab GROUP BY doc_id, ab.i
+),
+bandkeys AS (
+  SELECT doc_id, i // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY i) AS bkey
+  FROM mins GROUP BY doc_id, i // 4
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bandkeys x JOIN bandkeys y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cands c
+  JOIN shingles s1 ON s1.doc_id = c.id_a
+  JOIN shingles s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(ni::DOUBLE / (za.nsh + zb.nsh - ni), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE round(ni::DOUBLE / (za.nsh + zb.nsh - ni), 6) >= 0.3
+"""
+
+
+@register("ext_dedup_fuzzy", _minhash_oracle())
 def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified (the scale path:
-    banded buckets shuffle on (band, bucket), candidates only)."""
+    banded buckets shuffle on (band, bucket), candidates only). STRONG
+    oracle: the whole pipeline — md5 base hashes, seeded multiply-shift
+    signatures, banded candidates, Jaccard verify — is reproduced in SQL
+    (see _minhash_oracle)."""
     from ..operators.dedup import minhash_lsh_pairs
 
     docs = load(spark, sf_dir, "documents")
