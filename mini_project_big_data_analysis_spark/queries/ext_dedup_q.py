@@ -215,9 +215,70 @@ def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_dedup_simhash", None)  # rows-only: md5 bit-planes not in DuckDB
+#: Little-endian uint64 from an md5 hex digest's first 8 bytes (numpy's
+#: ``frombuffer(digest[:8], '<u8')`` ≡ hex byte pairs reversed).
+_MD5_LE = (
+    "('0x' || substr(md5(tok),15,2) || substr(md5(tok),13,2)"
+    " || substr(md5(tok),11,2) || substr(md5(tok),9,2)"
+    " || substr(md5(tok),7,2) || substr(md5(tok),5,2)"
+    " || substr(md5(tok),3,2) || substr(md5(tok),1,2))::UBIGINT"
+)
+
+_SIMHASH_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+th AS (
+  -- tok <> '' mirrors Python str.split(), which never yields empty tokens
+  SELECT doc_id, {_MD5_LE} AS h FROM toks WHERE tok <> ''
+),
+bits AS (
+  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, unnest(range(0, 64)) AS r(i)
+  GROUP BY doc_id, i
+),
+packed AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::UBIGINT << i)::HUGEINT ELSE 0 END) AS u
+  FROM bits GROUP BY doc_id
+),
+fp AS (
+  -- LEFT JOIN keeps token-less docs at simhash 0, like the UDF
+  SELECT d.doc_id,
+         (CASE WHEN coalesce(p.u, 0) >= 9223372036854775808::HUGEINT
+               THEN coalesce(p.u, 0) - 18446744073709551616::HUGEINT
+               ELSE coalesce(p.u, 0) END)::BIGINT AS simhash
+  FROM documents d LEFT JOIN packed p USING (doc_id)
+),
+uns AS (
+  SELECT doc_id, simhash,
+         (CASE WHEN simhash < 0 THEN simhash::HUGEINT + 18446744073709551616::HUGEINT
+               ELSE simhash::HUGEINT END)::UBIGINT AS u
+  FROM fp
+),
+chunks AS (
+  SELECT doc_id, c, ((u >> (16*c)) & 65535)::INT AS chunk
+  FROM uns, unnest(range(0, 4)) AS r(c)
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM chunks x JOIN chunks y
+    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+)
+SELECT c.id_a, c.id_b, bit_count(xor(fa.simhash, fb.simhash)) AS hamming
+FROM cands c
+JOIN fp fa ON fa.doc_id = c.id_a
+JOIN fp fb ON fb.doc_id = c.id_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+"""
+
+
+@register("ext_dedup_simhash", _SIMHASH_ORACLE)
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3) with pigeonhole-chunk blocking."""
+    """SimHash near-dup pairs (Hamming ≤ 3) with pigeonhole-chunk blocking.
+    STRONG oracle: md5 bit-plane accumulation, sign packing, 16-bit-chunk
+    candidates and bit_count(xor) verify all reproduced in SQL."""
     from ..operators.dedup import simhash_pairs
 
     docs = load(spark, sf_dir, "documents")
