@@ -73,11 +73,40 @@ def ext_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_multimodal_features", None)  # rows-only: entropy has no SQL mirror
+_FEATURES_ORACLE = r"""
+WITH pay AS (
+  SELECT doc_id, encode(text) AS payload FROM documents
+),
+hx AS (
+  SELECT doc_id, lower(hex(payload)) AS h, octet_length(payload) AS n FROM pay
+),
+bytes AS (
+  -- hex pairs of the blob = its bytes: a byte histogram without byte unnest
+  SELECT doc_id, substr(h, 2*i + 1, 2) AS byte, n
+  FROM hx, LATERAL unnest(range(0, n)) AS r(i)
+),
+hist AS (
+  SELECT doc_id, n, byte, count(*) AS c FROM bytes GROUP BY doc_id, n, byte
+),
+ent AS (
+  SELECT doc_id, round(-sum((c::DOUBLE/n) * log2(c::DOUBLE/n)), 6) AS byte_entropy
+  FROM hist GROUP BY doc_id, n
+)
+SELECT x.doc_id,
+       x.n::BIGINT AS n_bytes,
+       coalesce(e.byte_entropy, 0.0) AS byte_entropy,
+       substr(x.h, 1, 16) AS head_hex
+FROM hx x LEFT JOIN ent e USING (doc_id)
+"""
+
+
+@register("ext_multimodal_features", _FEATURES_ORACLE)
 def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (streaming
     Arrow batches — the exact plumbing a real decode/resize UDF uses; the
-    codec itself is stubbed, operators/multimodal.py docstring)."""
+    codec itself is stubbed, operators/multimodal.py docstring). STRONG
+    oracle: size, Shannon byte-entropy (6 dp) and header hex reproduced in
+    SQL from the payload's hex expansion."""
     from ..operators.multimodal import attach_binary_payload, extract_features
 
     media = attach_binary_payload(load(spark, sf_dir, "documents"))
