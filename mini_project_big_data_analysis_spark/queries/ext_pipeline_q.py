@@ -128,3 +128,45 @@ def ext_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.pack_sequences(
         docs, capacity=256, n_shards=8, token_col="n_tokens", id_col="doc_id"
     )
+
+
+_QUALITY_ORACLE = """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT doc_id) AS n_distinct_ids,
+           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_text,
+           sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)::BIGINT AS blank_text,
+           (sum(CASE WHEN lang NOT IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END)
+            + sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END))::BIGINT AS lang_violations,
+           sum(CASE WHEN n_chars NOT BETWEEN 1 AND 100000 THEN 1 ELSE 0 END)::BIGINT
+               AS len_violations,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+"""
+
+
+@register("ext_data_quality", _QUALITY_ORACLE)
+def ext_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-check suite over the corpus — uniqueness, presence,
+    domain, range, and profile metrics — evaluated in ONE aggregate pass
+    (operators/quality.py): the ingest guard stage, Deequ-shaped."""
+    from ..operators import quality as Q
+
+    docs = load(spark, sf_dir, "documents")
+    return Q.quality_report(
+        docs,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_distinct_ids": F.countDistinct("doc_id"),
+            "null_text": Q.null_count("text"),
+            "blank_text": Q.blank_count("text"),
+            "lang_violations": Q.domain_violations(
+                "lang", ["en", "de", "es", "fr", "zh"]
+            ),
+            "len_violations": Q.range_violations("n_chars", 1, 100000),
+            "min_chars": F.min("n_chars"),
+            "max_chars": F.max("n_chars"),
+            "avg_chars": F.round(F.avg("n_chars"), 6),
+        },
+    )

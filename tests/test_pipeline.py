@@ -80,3 +80,25 @@ def test_pack_sequences_invariants(spark):
         assert r.pack_id * cap + r.pack_offset == start
         by_shard[r.shard] = start + r.n_tokens
     out.unpersist()
+
+
+def test_quality_report_null_semantics(spark):
+    from mini_project_big_data_analysis_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, "ok", "en", 5), (2, None, "en", -1), (3, "  ", None, 7), (4, "ok", "xx", 5)],
+        "id long, text string, lang string, n long",
+    )
+    r = Q.quality_report(
+        df,
+        {
+            "nulls": Q.null_count("text"),
+            "blanks": Q.blank_count("text"),
+            "dom": Q.domain_violations("lang", ["en"]),
+            "rng": Q.range_violations("n", 0, 10),
+        },
+    ).collect()[0]
+    assert r.nulls == 1
+    assert r.blanks == 1          # NULL text is not "blank"
+    assert r.dom == 2             # 'xx' + the NULL lang
+    assert r.rng == 1             # only -1; NULL n would not count
