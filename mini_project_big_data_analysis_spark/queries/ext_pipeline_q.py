@@ -170,3 +170,35 @@ def ext_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars": F.round(F.avg("n_chars"), 6),
         },
     )
+
+
+_ZORDER_ORACLE = """
+    WITH base AS (
+        SELECT event_id,
+               user_id % 65536 AS a,
+               (floor(epoch(ts))::BIGINT // 60) % 65536 AS b
+        FROM events
+    )
+    SELECT event_id,
+           sum((((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i+1)))::BIGINT
+               AS zcode
+    FROM base, LATERAL unnest(range(0, 16)) AS r(i)
+    GROUP BY event_id, a, b
+"""
+
+
+@register("ext_zorder_cluster", _ZORDER_ORACLE)
+def ext_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering code over (user_id, minute-bucket) —
+    sort-on-write by this code gives parquet row-group min/max locality on
+    BOTH dimensions (operators/layout.py). The code itself is a fixed
+    unrolled shift/mask projection: whole-stage codegen, no UDF, no shuffle
+    (the write-side range exchange lives in zorder_by, not here)."""
+    from ..operators.layout import morton_code
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("a"),
+        (F.expr("unix_timestamp(ts) div 60") % 65536).alias("b"),
+    )
+    return ev.select("event_id", morton_code("a", "b", 16).alias("zcode"))

@@ -102,3 +102,58 @@ def test_quality_report_null_semantics(spark):
     assert r.blanks == 1          # NULL text is not "blank"
     assert r.dom == 2             # 'xx' + the NULL lang
     assert r.rng == 1             # only -1; NULL n would not count
+
+
+def test_morton_code_reference(spark):
+    from mini_project_big_data_analysis_spark.operators.layout import morton_code
+    from pyspark.sql import functions as F
+
+    def ref(a, b, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    cases = [(0, 0), (1, 0), (0, 1), (65535, 0), (0, 65535), (12345, 54321)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = {(r.a, r.b): r.z for r in df.select("a", "b", morton_code("a", "b").alias("z")).collect()}
+    for a, b in cases:
+        assert got[(a, b)] == ref(a, b), (a, b)
+
+
+def test_zorder_write_improves_two_dim_locality(spark, tmp_path):
+    """Per-file min/max spans on the SECOND dimension must tighten vs a
+    first-dimension sort — the row-group pruning win zordering exists for.
+    64×64 grid: sorting by b leaves every file spanning all of a (span 63);
+    Z-order files cover compact squares, so per-file a-span shrinks."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mini_project_big_data_analysis_spark.operators.layout import morton_code, zorder_by
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+
+    def mean_a_span(path):
+        spans = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.read_metadata(f)
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "a"
+                )
+                spans.append(col.statistics.max - col.statistics.min)
+        return sum(spans) / len(spans)
+
+    p_b, p_z = str(tmp_path / "by_b"), str(tmp_path / "by_z")
+    grid.repartitionByRange(16, "b").sortWithinPartitions("b").write.parquet(p_b)
+    zorder_by(grid, morton_code("a", "b"), n_files=16).write.parquet(p_z)
+    assert mean_a_span(p_b) == 63.0
+    assert mean_a_span(p_z) <= 32.0, mean_a_span(p_z)
