@@ -158,3 +158,40 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+_CORRUPT_ORACLE = """
+    WITH mutated AS (
+        SELECT event_id,
+               CASE WHEN event_id % 3 = 0
+                    THEN substr(props, 1, length(props) - 1)
+                    ELSE props END AS payload
+        FROM events
+    )
+    SELECT event_id,
+           CASE WHEN json_valid(payload)
+                THEN (payload->>'$.k')::BIGINT END AS k,
+           NOT json_valid(payload) AS is_corrupt
+    FROM mutated
+"""
+
+
+@register("src_json_corrupt", _CORRUPT_ORACLE)
+def src_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance (the reference consumer's defensive
+    parsing, consumer.py:37-43, as engine semantics): every third payload is
+    deterministically truncated into invalid JSON; PERMISSIVE from_json maps
+    it to NULL instead of failing the job — corruption becomes a *queryable
+    column*, the behavior a 100 TB ingest needs (one bad record must never
+    kill a 10k-task stage). Oracle: DuckDB json_valid + ->> extraction."""
+    events = load(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 3 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(payload, "k BIGINT")
+    return events.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        parsed.getField("k").isNull().alias("is_corrupt"),
+    )
