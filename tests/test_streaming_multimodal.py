@@ -90,3 +90,56 @@ def test_weather_poll_stream_offsets(spark, tmp_path):
     got = {(r.city, r.cycle): (r.temperature, r.humidity, r.pressure, r.dt) for r in rows}
     city, cycle, temp, hum, pres, dt = _observe(3, 0)
     assert got[(city, cycle)] == (temp, hum, pres, dt)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a 10s watermark: a row arriving after
+    the watermark passed its window must not change that window's count —
+    the bounded-state guarantee the reference's hand-rolled consumer lacks."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "event_time timestamp, v int"
+
+    def drop_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    # batch A: window [0,10) gets two rows; a row at t=50 advances the
+    # watermark to 40, sealing that window
+    drop_file("a", [(t(1), 1), (t(8), 1), (t(50), 1)])
+
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withWatermark("event_time", "10 seconds")
+        .groupBy(F.window("event_time", "10 seconds").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch B: t=5 is LATE (watermark 40 > window end 10) -> dropped;
+        # t=90 advances the watermark to 80, sealing window [50,60)
+        drop_file("b", [(t(5), 1), (t(90), 1)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.ws.second: r.n for r in spark.table("late_test").collect()}
+    assert got.get(0) == 2, got   # late t=5 did NOT bump [0,10)
+    assert got.get(50) == 1, got  # batch-B on-time row sealed normally
