@@ -90,3 +90,32 @@ def test_partitioned_write_scan_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "bucket" in pf_line, plan
+
+
+def test_pipeline_assignment_ops_are_map_only(spark, sf_dir):
+    """split/sample/mix must stay row-local: zero Exchange in the plan —
+    at 100 TB these are single map-only passes over the scan."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        reg = all_queries()
+        for qid in ("ext_split_hash", "ext_sample_stratified", "ext_dataset_mix"):
+            plan = checks.explain_str(reg[qid].fn(spark, sf_dir))
+            assert "Exchange" not in plan, f"{qid} plan shuffles:\n{plan[:600]}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_token_pack_single_shuffle_on_shard(spark, sf_dir):
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = checks.explain_str(
+            all_queries()["ext_token_pack"].fn(spark, sf_dir), mode="simple"
+        )
+        assert plan.count("Exchange") == 1
+        assert "hashpartitioning(shard" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
