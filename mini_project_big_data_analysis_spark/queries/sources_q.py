@@ -195,3 +195,22 @@ def src_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k"),
         parsed.getField("k").isNull().alias("is_corrupt"),
     )
+
+
+@register(
+    "snk_compact_small_files",
+    "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+)
+def snk_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction maintenance op: a 32-fragment write (the
+    streaming-append decay mode) rewritten into target-size files via a
+    shuffle-free coalesce sized from actual on-disk bytes; identity oracle
+    proves losslessness, tests pin the file-count drop."""
+    from ..sources.writers import compact_files
+
+    frag = os.path.join(
+        tempfile.gettempdir(), "mpbda_spark_sink", f"frag_{uuid.uuid4().hex}"
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    sup.repartition(32).write.parquet(frag)
+    return compact_files(spark, frag, target_bytes=64 * 1024 * 1024)

@@ -74,3 +74,36 @@ def write_and_read_back(spark: SparkSession, df: DataFrame, subdir: str | None =
     path = os.path.join(base, subdir or uuid.uuid4().hex)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def compact_files(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~``target_bytes`` each and return the compacted scan.
+
+    The operational fix for the #1 lakehouse decay mode — streaming /
+    per-batch appends accumulate thousands of KB-sized files, and at 100 TB
+    the NameNode/listing + per-file open cost dominates scans. Sizing comes
+    from the *actual* on-disk bytes (no guessing): n_files =
+    ceil(total_bytes / target). The rewrite is one coalesce() — a NARROW
+    dependency, no shuffle: each output task concatenates whole input
+    files. Atomicity on a real deployment comes from writing to a fresh
+    directory + metastore location swap, which is what the temp-dir +
+    return-scan here models.
+    """
+    import math
+
+    from py4j.java_gateway import java_import
+
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    hpath = jvm.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total / target_bytes))
+    compacted = os.path.join(
+        tempfile.gettempdir(), "mpbda_spark_sink", f"compact_{uuid.uuid4().hex}"
+    )
+    spark.read.parquet(path).coalesce(n_files).write.parquet(compacted)
+    return spark.read.parquet(compacted)

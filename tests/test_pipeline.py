@@ -157,3 +157,20 @@ def test_zorder_write_improves_two_dim_locality(spark, tmp_path):
     zorder_by(grid, morton_code("a", "b"), n_files=16).write.parquet(p_z)
     assert mean_a_span(p_b) == 63.0
     assert mean_a_span(p_z) <= 32.0, mean_a_span(p_z)
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mini_project_big_data_analysis_spark.sources.writers import compact_files
+
+    frag = str(tmp_path / "frag")
+    spark.range(10000).withColumn("v", F.col("id") * 2).repartition(32).write.parquet(frag)
+    assert len(glob.glob(frag + "/*.parquet")) == 32
+    out = compact_files(spark, frag, target_bytes=64 * 1024 * 1024)
+    files = {r[0] for r in out.select(F.input_file_name()).distinct().collect()}
+    assert len(files) == 1  # ~80KB of data, one target-size file
+    assert out.count() == 10000
+    assert out.agg(F.sum("v")).collect()[0][0] == 10000 * 9999
