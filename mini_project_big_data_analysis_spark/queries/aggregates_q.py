@@ -231,3 +231,25 @@ def limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic with an explicit order."""
     ev = load(spark, sf_dir, "events")
     return ev.select("event_id", "event_type", "value").orderBy("event_id").limit(5)
+
+
+@register(
+    "agg_hll_distinct",
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+)
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the 100 TB pattern for COUNT
+    DISTINCT: per-(type, day) HLL++ sub-sketches (tiny, re-aggregatable)
+    union-merged per type, so any time-range distinct count comes from
+    sketch unions instead of rescanning raw data. Exact COUNT(DISTINCT)
+    needs an Expand + full shuffle of every distinct key; sketches shuffle
+    kilobytes. At this SF's cardinalities (≤1.5k per group, lgConfigK=14)
+    the sketch is still in exact mode, so the oracle is the exact count —
+    the approximation tolerance at real scale is pinned in pytest instead."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    return daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_users")
+    )

@@ -110,3 +110,25 @@ def test_global_stats(spark):
     df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
     r = relational.global_stats(df, ["v"]).collect()[0]
     assert r.n_rows == 3 and r.avg_v == 2.0 and r.min_v == 1.0 and r.max_v == 3.0 and r.std_v == 1.0
+
+
+def test_hll_sketch_union_accuracy(spark):
+    """Sketch-union estimates: exact in sparse mode, ≤2% at 200k keys —
+    the tolerance contract behind agg_hll_distinct's exact-count oracle."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(200_000).select(
+        (F.col("id") % 20).alias("g"), F.col("id").alias("k")
+    )
+    r = (
+        big.groupBy("g", (F.col("k") % 7).alias("sub"))
+        .agg(F.expr("hll_sketch_agg(k, 14)").alias("sk"))
+        .groupBy("g")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .collect()
+    )
+    for row in r:
+        assert abs(row.est - 10_000) / 10_000 < 0.02, row
+    small = spark.range(500).select((F.col("id") % 5).alias("g"), F.col("id").alias("k"))
+    s = small.groupBy("g").agg(F.expr("hll_sketch_estimate(hll_sketch_agg(k, 14))").alias("est")).collect()
+    assert all(row.est == 100 for row in s)
