@@ -269,3 +269,34 @@ def fn_string_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     padded = F.concat(F.lit("  "), F.col("c_name"), F.lit("   "))
     return c.select("c_custkey", F.trim(padded).alias("name_stripped"))
+
+
+_UNPIVOT_ORACLE = """
+    SELECT o_orderkey, metric, value
+    FROM (
+        SELECT o_orderkey,
+               o_totalprice AS totalprice,
+               o_custkey::DOUBLE AS custkey
+        FROM orders WHERE o_orderkey <= 100
+    ) UNPIVOT (value FOR metric IN (totalprice, custkey))
+"""
+
+
+@register("proj_unpivot", _UNPIVOT_ORACLE)
+def proj_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) — the inverse of agg_pivot's long→wide and
+    the reshape every metrics store needs. Native `DataFrame.unpivot`: a
+    row-local Expand (each input row emits one row per value column), no
+    shuffle, no UDF; oracle is DuckDB's native UNPIVOT."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
