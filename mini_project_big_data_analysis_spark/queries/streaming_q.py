@@ -10,6 +10,7 @@ same data, which pins the window semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .base import register
 
@@ -77,3 +78,65 @@ def stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_stateful_running_stats
 
     return run_stateful_running_stats(spark, sf_dir)
+
+
+_WEATHER_STREAM_ORACLE = """
+    WITH obs AS (
+        SELECT printf('city_%02d', i) AS city,
+               20.0 + ((7*i + 31*c) % 150) / 10.0 AS temperature,
+               (1700000000 + 300*c + 2*i)::BIGINT AS dt
+        FROM generate_series(0, 15) s(i), generate_series(0, 9) t(c)
+    )
+    SELECT city,
+           (dt // 600) * 600 AS window_start_s,
+           count(*) AS n_obs,
+           round(avg(temperature), 6) AS avg_temp
+    FROM obs
+    GROUP BY city, (dt // 600) * 600
+"""
+
+
+@register("stream_weather_pipeline", _WEATHER_STREAM_ORACLE)
+def stream_weather_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE reference pipeline — poll source → typed event time →
+    windowed aggregate → sink (producer.py + consumer.py + app.py's hourly
+    rollup) — as ONE streaming query over the custom weather_poll source,
+    with a byte-exact arithmetic oracle: the deterministic observe function
+    makes even the streaming composite hash-checkable, not just rows-only.
+    10-minute tumbling windows on the observation's epoch time; the bounded
+    stream (max_cycles) drains under processAllAvailable and the memory
+    sink holds the complete-mode result."""
+    import uuid as _uuid
+
+    from ..sources.weather_source import register_weather_source
+
+    register_weather_source(spark)
+    name = f"wx_{_uuid.uuid4().hex[:10]}"
+    agg = (
+        spark.readStream.format("weather_poll")
+        .option("max_cycles", 10)
+        .load()
+        .withColumn("event_time", F.timestamp_seconds("dt"))
+        .groupBy("city", F.window("event_time", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.avg("temperature"), 6).alias("avg_temp"),
+        )
+        .select(
+            "city",
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "n_obs",
+            "avg_temp",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
