@@ -300,3 +300,43 @@ def proj_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+_TRY_CAST_ORACLE = """
+    SELECT event_id,
+           CASE WHEN regexp_matches(raw, '^\\s*[+-]?[0-9]+\\s*$')
+                THEN TRY_CAST(raw AS BIGINT) END AS as_int,
+           TRY_CAST(raw AS DOUBLE) AS as_double
+    FROM (
+        SELECT event_id,
+               CASE event_id % 4 WHEN 0 THEN '42'
+                                 WHEN 1 THEN '3.5'
+                                 WHEN 2 THEN '12x'
+                                 ELSE '' END AS raw
+        FROM events
+    )
+"""
+
+
+@register("fn_try_cast", _TRY_CAST_ORACLE)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant casting over deterministic dirty strings: try_cast
+    maps unparseable input to NULL instead of throwing — the row-level
+    escape hatch that keeps a 100 TB job alive under Spark 4's default ANSI
+    mode (one '12x' in a trillion rows must not kill the stage). Engine
+    divergence captured in the oracle: Spark's try_cast('3.5' AS BIGINT) is
+    NULL (ANSI: no implicit fractional truncation) while DuckDB's TRY_CAST
+    rounds to 4 — the oracle guards the integer path with a regex to mirror
+    Spark's semantics (verified live)."""
+    ev = load(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_id") % 4 == 0, "42")
+        .when(F.col("event_id") % 4 == 1, "3.5")
+        .when(F.col("event_id") % 4 == 2, "12x")
+        .otherwise("")
+    )
+    return ev.select(
+        "event_id",
+        raw.try_cast("bigint").alias("as_int"),
+        raw.try_cast("double").alias("as_double"),
+    )

@@ -12,7 +12,7 @@ enumerable (duration/slide shifted tumbling groupings UNION ALL'd).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import load, register
@@ -152,3 +152,23 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("r_regionkey INT, r_name STRING").option(
         "header", "true"
     ).csv(path)
+
+
+@register(
+    "window_ntile",
+    """
+    SELECT event_id, event_type,
+           ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+               AS quartile
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quartile bucketing (curriculum binning / outlier tiers).
+    ntile is deterministic given a total order — event_id tiebreak makes
+    both engines agree exactly. One shuffle on the partition key."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type", F.ntile(4).over(w).alias("quartile")
+    )
