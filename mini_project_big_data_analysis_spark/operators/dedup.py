@@ -18,6 +18,8 @@ ANN search).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
@@ -44,6 +46,20 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.min(id_col).alias(id_col),
         F.count(F.lit(1)).alias("dup_count"),
     )
+
+
+#: ASCII-whitespace tokenizer for the hashing UDFs. Python ``str.split()``
+#: splits on Unicode whitespace (NBSP, U+2028, …) but Java's ``\s+`` (the
+#: engine's word_shingles / Spark F.split) and DuckDB's RE2 ``\s+`` (the SQL
+#: oracles) are ASCII-only — one tokenizer everywhere, or a single NBSP
+#: desynchronizes signatures from both the verify stage and the oracle.
+_ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def ascii_tokens(text: str | None) -> list[str]:
+    if not text:
+        return []
+    return [t for t in _ASCII_WS.split(text) if t]
 
 
 def minhash_constants(num_hashes: int):
@@ -84,7 +100,7 @@ def _make_minhash_udf(num_hashes: int, shingle_k: int):
     def minhash_sig(texts):  # type: ignore[no-untyped-def]
         out = []
         for text in texts:
-            toks = text.split() if text else []
+            toks = ascii_tokens(text)
             if len(toks) < shingle_k:
                 out.append(None)
                 continue
@@ -303,7 +319,7 @@ def simhash64(texts):  # type: ignore[no-untyped-def]
         if not text:
             return 0
         acc = np.zeros(64, dtype=np.int64)
-        for tok in text.split():
+        for tok in ascii_tokens(text):
             acc += tok_bits(tok)
         out = 0
         for i in range(64):

@@ -23,8 +23,10 @@ def morton_code(col_a: Column | str, col_b: Column | str, bits: int = 16) -> Col
     """Interleave the low ``bits`` bits of two non-negative ints: a's bit i
     lands at position 2i, b's at 2i+1. Callers bucket/clamp dimensions into
     the ``bits`` range first (e.g. ``% (1 << bits)``)."""
-    a = F.col(col_a) if isinstance(col_a, str) else col_a
-    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    # cast to long: shiftleft on an IntegerType column wraps at bit 31
+    # (bit 15 of b would contribute -2^31), silently corrupting the code
+    a = (F.col(col_a) if isinstance(col_a, str) else col_a).cast("long")
+    b = (F.col(col_b) if isinstance(col_b, str) else col_b).cast("long")
     code = F.lit(0).cast("long")
     for i in range(bits):
         code = code + F.shiftleft(F.shiftrightunsigned(a, i).bitwiseAND(F.lit(1)), 2 * i)

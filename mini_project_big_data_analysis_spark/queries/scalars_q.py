@@ -278,7 +278,7 @@ _UNPIVOT_ORACLE = """
                o_totalprice AS totalprice,
                o_custkey::DOUBLE AS custkey
         FROM orders WHERE o_orderkey <= 100
-    ) UNPIVOT (value FOR metric IN (totalprice, custkey))
+    ) UNPIVOT INCLUDE NULLS (value FOR metric IN (totalprice, custkey))
 """
 
 

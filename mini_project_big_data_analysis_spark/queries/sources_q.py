@@ -189,11 +189,18 @@ def src_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id") % 3 == 0,
         F.expr("substring(props, 1, length(props) - 1)"),
     ).otherwise(F.col("props"))
-    parsed = F.from_json(payload, "k BIGINT")
+    # corruption is detected via the corrupt-record column, NOT via k IS
+    # NULL: a valid {"k": null} payload is k-less but not corrupt, and
+    # from_json returns a struct of nulls (not a null struct) on bad input
+    parsed = F.from_json(
+        payload,
+        "k BIGINT, _corrupt STRING",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
     return events.select(
         "event_id",
         parsed.getField("k").alias("k"),
-        parsed.getField("k").isNull().alias("is_corrupt"),
+        parsed.getField("_corrupt").isNotNull().alias("is_corrupt"),
     )
 
 

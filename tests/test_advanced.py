@@ -99,9 +99,10 @@ def test_range_band_join_edges(spark):
         [(1, 100), (2, 500)], "id_a int, sec_a long"
     )
     b = spark.createDataFrame(
-        # 130 = exactly band away (kept), 131 = band+1 (dropped),
-        # 159/161: bin boundary at 160 with band=30 — 159 is caught only via
-        # the bin+1 explode leg, 161 is out of band
+        # 130 = exactly band away from 100 (kept; reached via the bin+1
+        # explode leg: bin(100)=3, bin(130)=4), 131 = band+1 (dropped),
+        # 159 = out of band for both lefts, 70 = band-distance below 100
+        # (kept via the bin-1 leg), 500 = exact match for id_a=2
         [(10, 130), (11, 131), (12, 159), (13, 70), (14, 500)],
         "id_b int, sec_b long",
     )
