@@ -105,3 +105,21 @@ def test_connected_components_transitive(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_tokenizers_agree_on_unicode_whitespace(spark):
+    """The Python UDF tokenizer must match Java's ASCII \\s+ (word_shingles,
+    oracles): NBSP is NOT a separator in either."""
+    from pyspark.sql import functions as F
+
+    from mini_project_big_data_analysis_spark.functions.text_fns import whitespace_tokens
+    from mini_project_big_data_analysis_spark.operators.dedup import ascii_tokens
+
+    s = "a\u00a0b c\td"
+    jvm_toks = (
+        spark.createDataFrame([(s,)], "t string")
+        .select(whitespace_tokens("t").alias("toks"))
+        .collect()[0]
+        .toks
+    )
+    assert ascii_tokens(s) == jvm_toks == ["a\u00a0b", "c", "d"]
