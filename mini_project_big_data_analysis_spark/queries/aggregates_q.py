@@ -280,3 +280,41 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("value"), 6).alias("var_value"),
         F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
     )
+
+
+@register(
+    "agg_mode",
+    """
+    WITH counts AS (
+        SELECT event_type, user_id, count(*) AS n
+        FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+        SELECT event_type, user_id, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, user_id) AS rk
+        FROM counts
+    )
+    SELECT event_type, user_id AS mode_user, n AS mode_count
+    FROM ranked WHERE rk = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a deterministic tie-break
+    (lowest value wins) — built-in `mode()` has engine-defined tie order in
+    BOTH Spark and DuckDB, so the portable form is count → row_number.
+    Two shuffles: the count agg and the per-group window; the window input
+    is already reduced to distinct (group, value) pairs."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "user_id")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("mode_user"),
+            F.col("n").alias("mode_count"),
+        )
+    )
