@@ -165,3 +165,38 @@ def pack_sequences(
             ).alias("spans_boundary"),
         )
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    k-token gram with the benchmark set (the n-gram collision check every
+    LLM data pipeline runs before training, so eval data doesn't leak into
+    the corpus).
+
+    Returns (id, n_shared_grams) for flagged docs only. Scale shape: the
+    benchmark side is eval suites — thousands of docs, not billions — so
+    its distinct gram set broadcasts; the training side streams through a
+    broadcast hash join after its gram explode. No shuffle of training
+    data at all: explode → broadcast-join → partial-agg on the id.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text_fns import word_shingles
+
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(text_col, k)).alias("g")).distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("g")
+    )
+    return (
+        train_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("g").alias("n_shared_grams"))
+    )

@@ -202,3 +202,37 @@ def ext_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("unix_timestamp(ts) div 60") % 65536).alias("b"),
     )
     return ev.select("event_id", morton_code("a", "b", 16).alias("zcode"))
+
+
+_DECONTAM_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(list_slice(t, i, i+4), ' ') AS g
+        FROM (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 5),
+             LATERAL unnest(range(1, n - 3)) AS r(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50)
+    SELECT gr.doc_id, count(DISTINCT gr.g) AS n_shared_grams
+    FROM grams gr JOIN bench b ON gr.g = b.g
+    WHERE gr.doc_id >= 50
+    GROUP BY gr.doc_id
+"""
+
+
+@register("ext_decontaminate", _DECONTAM_ORACLE)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id ≥ 50) sharing any
+    5-token gram with the benchmark slice (doc_id < 50) — the eval-leakage
+    check before training. Benchmark gram set broadcasts (eval suites are
+    small by construction); training grams stream through the broadcast
+    join — zero shuffle of training data (operators/pipeline.py)."""
+    from ..operators.pipeline import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+        k=5,
+    )
