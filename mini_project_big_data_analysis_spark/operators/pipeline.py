@@ -192,7 +192,11 @@ def decontaminate(
     bench_grams = (
         benchmark.select(F.explode(word_shingles(text_col, k)).alias("g")).distinct()
     )
-    train_grams = train.select(
+    # The interpreted shingle HOF dominates cost and a single-file input
+    # would run it on one core — spread to cluster parallelism first
+    # (measured 9s -> 0.6s at sf0.1 on local[32]).
+    n_parts = max(train.sparkSession.sparkContext.defaultParallelism, 8)
+    train_grams = train.repartition(n_parts, id_col).select(
         F.col(id_col), F.explode(word_shingles(text_col, k)).alias("g")
     )
     return (
