@@ -143,3 +143,15 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     got = {r.ws.second: r.n for r in spark.table("late_test").collect()}
     assert got.get(0) == 2, got   # late t=5 did NOT bump [0,10)
     assert got.get(50) == 1, got  # batch-B on-time row sealed normally
+
+
+def test_weather_poll_batch_plans_one_partition_per_city(spark):
+    from mini_project_big_data_analysis_spark.sources.weather_source import (
+        CITIES,
+        register_weather_source,
+    )
+
+    register_weather_source(spark)
+    df = spark.read.format("weather_poll").option("cycles", 2).load()
+    assert df.rdd.getNumPartitions() == len(CITIES)  # 16-way parallel poll
+    assert df.count() == len(CITIES) * 2
