@@ -64,8 +64,13 @@ def main() -> int:
         df.write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
-    # JVM/codegen warm-up on the cheapest query, result discarded
+    # JVM/codegen warm-up, results discarded: the cheapest query first, then
+    # a throwaway run of the first measured id — flagship joins four tables
+    # whose scans/codegen the cheap warm-up never touches, and BASELINE.md's
+    # warm protocol discards exactly such a run (BENCH_r02's one >2× entry
+    # was this cold-start charged to flagship).
     run_once("agg_global_stats")
+    run_once(headline[0])
 
     timings: dict[str, float] = {}
     for qid in headline:
@@ -76,17 +81,32 @@ def main() -> int:
         print(f"# {qid}: {timings[qid]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_num,
-            }
-        )
-    )
+
+    # Second tier: the ENTIRE catalog, one timed run each — cross-round
+    # regression coverage for the writes/streaming tail the headline set
+    # skips (BASELINE.md measures all oracle-checked ids). Failures are
+    # recorded, not fatal, so one bad query can't void the artifact.
+    timings_full: dict[str, float] = {}
+    full_errors: dict[str, str] = {}
+    for qid in registry:
+        try:
+            timings_full[qid] = round(run_once(qid), 3)
+        except Exception as exc:  # pragma: no cover - defensive
+            full_errors[qid] = f"{type(exc).__name__}: {exc}"[:200]
+        print(f"## full {qid}: {timings_full.get(qid, 'ERR')}", file=sys.stderr)
+
+    report = {
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        "full_wall_sec": round(sum(timings_full.values()), 3),
+        "queries_full": timings_full,
+    }
+    if full_errors:
+        report["full_errors"] = full_errors
+    print(json.dumps(report))
     spark.stop()
     return 0
 

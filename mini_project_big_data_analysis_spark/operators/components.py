@@ -16,6 +16,8 @@ stays O(1) instead of growing per loop.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +42,7 @@ def connected_components(
     labels = labels.persist()
     labels.count()  # materialize iteration 0
 
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -66,4 +69,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A chain longer than max_iterations hops would otherwise silently
+        # yield split components — wrong dedup clusters. Surface it.
+        warnings.warn(
+            f"connected_components hit max_iterations={max_iterations} without "
+            "converging; returned labels may split long-chain components. "
+            "Raise max_iterations (iterations needed ~= cluster diameter).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", "comp")

@@ -195,7 +195,14 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    return _verify_jaccard(df, candidates, id_col, text_col, shingle_k, jaccard_threshold)
+    # _verify_jaccard materializes eagerly (localCheckpoint), so the cached
+    # signature table can be released here instead of leaking a block into
+    # executor memory for the session lifetime.
+    verified = _verify_jaccard(
+        df, candidates, id_col, text_col, shingle_k, jaccard_threshold
+    )
+    sigs.unpersist()
+    return verified
 
 
 def _verify_jaccard(
@@ -233,7 +240,13 @@ def _verify_jaccard(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+    # Eagerly materialize so the shingle-set cache can be released here
+    # instead of leaking for the session lifetime (the caller may never
+    # know this table existed). The checkpointed result is small —
+    # candidate pairs above threshold only.
+    out = verified.localCheckpoint(eager=True)
+    shingle_sets.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -26,14 +26,21 @@ from ..functions.vector_fns import cosine, dot, l2_normalize
 
 
 def _spread(vectors: DataFrame) -> DataFrame:
-    """Raise input parallelism to the session default when the scan produced
-    fewer partitions (a single parquet file reads as ONE partition locally —
-    the non-codegen higher-order cosine would then run on one core). At
-    cluster scale the scan has >= defaultParallelism splits and this is a
-    no-op branch — no shuffle is added on the 100 TB path."""
+    """Raise input parallelism to the session default when the scan reads
+    fewer files than cores (a single small parquet file reads as ONE
+    partition locally — the non-codegen higher-order cosine would then run
+    on one core). Plan-side check only: ``inputFiles()`` walks the analyzed
+    plan without materializing an RDD. Files larger than
+    ``maxPartitionBytes`` are range-split by the scan itself, and at cluster
+    scale the scan has >= defaultParallelism splits — so on the 100 TB path
+    this is a no-op branch and no shuffle is added."""
     sc = vectors.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if vectors.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(vectors.inputFiles())
+    except Exception:  # non-file plans (local relations): already parallel
+        return vectors
+    if 0 < n_files < target:
         return vectors.repartition(target)
     return vectors
 
@@ -83,14 +90,16 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    exclude_self: bool = False,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     ``query`` is expected to be small: ``crossJoin(broadcast(q))`` streams the
-    corpus once past every query with no shuffle of the big side. Pass
-    ``exclude_self=True`` when queries are drawn from the corpus (same id
-    space) to drop the trivial self-match. Ranking uses the two-phase
+    corpus once past every query with no shuffle of the big side. By default
+    the trivial self-match is dropped (queries are usually drawn from the
+    corpus — same id space); pass ``exclude_self=False`` for disjoint id
+    spaces. NULL-cosine rows (zero-norm vectors) are dropped, not ranked
+    last. Ranking uses the two-phase
     ``_topk_per_query`` — only k·partitions rows per query ever shuffle,
     never the scored corpus. Ties broken by id so results are deterministic.
     """
@@ -315,10 +324,13 @@ def embedding_near_dup_pairs(
 
     from pyspark.sql import types as T
 
+    # id columns keep the caller's id type (string/UUID ids work, not just
+    # bigint) — derive from the input schema instead of hardcoding LongType.
+    id_type = vectors.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
             T.StructField("cosine_sim", T.DoubleType()),
         ]
     )
@@ -329,8 +341,8 @@ def embedding_near_dup_pairs(
         if len(ids) < 2:
             return pd.DataFrame(
                 {
-                    "id_a": np.array([], dtype=np.int64),
-                    "id_b": np.array([], dtype=np.int64),
+                    "id_a": ids[:0],
+                    "id_b": ids[:0],
                     "cosine_sim": np.array([], dtype=np.float64),
                 }
             )

@@ -133,10 +133,13 @@ def run_clean_to_parquet_availablenow(
 ) -> DataFrame:
     """The consumer's full pipeline (consumer.py:29-78) as Structured
     Streaming with an idempotent foreachBatch parquet sink: source offsets
-    are checkpointed and each micro-batch append is tied to its batch id,
-    upgrading the reference's at-least-once insert_one loop to
-    effectively-exactly-once. Returns a scan of the sink — which must equal
-    the batch-cleaned table (the oracle checks exactly that).
+    are checkpointed and each micro-batch lands in its own ``batch_id=N``
+    subdirectory written with ``mode("overwrite")`` — a replayed batch (the
+    at-least-once failure mode after a partial write + restart) rewrites
+    the SAME directory instead of appending duplicates, upgrading the
+    reference's insert_one loop to effectively-exactly-once. Returns a scan
+    of the sink — which must equal the batch-cleaned table (the oracle
+    checks exactly that, and stays equal under replay).
     """
     name = f"sink_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
@@ -147,7 +150,10 @@ def run_clean_to_parquet_availablenow(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(path)
+        # batch_id-keyed overwrite = idempotent under micro-batch replay.
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
 
     q = (
         cleaned.writeStream.foreachBatch(write_batch)
@@ -156,7 +162,9 @@ def run_clean_to_parquet_availablenow(
         .start()
     )
     q.awaitTermination(300)
-    return spark.read.parquet(path)
+    # batch_id=N dirs read back as a partition column; drop it so the sink
+    # scan's schema equals the batch-cleaned table's.
+    return spark.read.parquet(path).select("event_id", "user_id", "event_type", "value")
 
 
 def run_stream_dedup_availablenow(
