@@ -8,6 +8,7 @@ from . import sources_q  # noqa: F401,E402
 from . import scalars_q  # noqa: F401,E402
 from . import filters_q  # noqa: F401,E402
 from . import aggregates_q  # noqa: F401,E402
+from . import dashboard_q  # noqa: F401,E402
 from . import joins_q  # noqa: F401,E402
 from . import advanced_q  # noqa: F401,E402
 from . import windows_q  # noqa: F401,E402

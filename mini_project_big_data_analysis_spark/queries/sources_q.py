@@ -205,6 +205,46 @@ def src_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snk_upsert_write",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS total_r,
+           CASE WHEN o_custkey < 50 THEN 'UPDATED' ELSE o_orderpriority END
+             AS o_orderpriority
+    FROM orders
+    """,
+)
+def snk_upsert_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE/upsert sink (the reference's Mongo upsert-by-_id,
+    consumer.py:78): base table written bucket-partitioned, then an update
+    batch (o_custkey < 50 with a rewritten priority) applied TWICE —
+    double delivery, the at-least-once failure mode. The oracle is the
+    single-application result: matching keys replaced exactly once, others
+    untouched — proving the merge is idempotent under key collision and
+    rewrites only the affected bucket directories (partition-scoped, never
+    a full-table rewrite)."""
+    from ..sources.writers import upsert_parquet
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "mpbda_spark_sink", f"upsert_{uuid.uuid4().hex}"
+    )
+    upsert_parquet(spark, path, base, keys=["o_orderkey"])
+    updates = base.filter(F.col("o_custkey") < 50).withColumn(
+        "o_orderpriority", F.lit("UPDATED")
+    )
+    upsert_parquet(spark, path, updates, keys=["o_orderkey"])  # delivery 1
+    merged = upsert_parquet(spark, path, updates, keys=["o_orderkey"])  # replay
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 6).alias("total_r"),
+        "o_orderpriority",
+    )
+
+
+@register(
     "snk_compact_small_files",
     "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
 )

@@ -76,6 +76,64 @@ def write_and_read_back(spark: SparkSession, df: DataFrame, subdir: str | None =
     return spark.read.parquet(path)
 
 
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Keyed MERGE/upsert into a parquet table (the reference's MongoDB
+    ``insert_one``-by-``_id`` semantics, consumer.py:78, as a bulk operator):
+    incoming rows REPLACE existing rows with matching keys, others append.
+    Re-delivering the same batch is a no-op — the sink is idempotent under
+    key collision, i.e. effectively-exactly-once for at-least-once inputs.
+
+    Scale shape: the table is laid out partitioned by a hash bucket of the
+    key, so a MERGE touches only the bucket directories its update keys land
+    in — never a full-table rewrite:
+
+    1. updates get ``__bucket = pmod(xxhash64(keys), n_buckets)`` (row-local);
+    2. existing rows are read WITH partition pruning to the affected buckets
+       only (``isin`` over the update's distinct bucket ids — at most
+       ``n_buckets`` driver-side ints);
+    3. survivors = affected existing rows anti-joined against update keys —
+       a shuffle of the affected buckets only;
+    4. survivors ∪ updates overwrite ONLY those partition directories via
+       dynamic partition overwrite (untouched buckets keep their files).
+
+    A table format with a transaction log (Delta/Iceberg MERGE) adds ACID
+    on top; the physical plan — prune, anti-join, partition-scoped rewrite —
+    is exactly this one.
+    """
+    bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    bucketed = updates.withColumn("__bucket", bucket)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        bucketed.write.partitionBy("__bucket").parquet(path)
+        return spark.read.parquet(path).drop("__bucket")
+
+    affected = [r[0] for r in bucketed.select("__bucket").distinct().collect()]
+    existing = spark.read.parquet(path).filter(F.col("__bucket").isin(affected))
+    survivors = existing.join(
+        updates.select(*keys).distinct(), on=keys, how="left_anti"
+    )
+    merged = survivors.select(*updates.columns, "__bucket").unionByName(bucketed)
+    # Stage the merged buckets before overwriting the directory they were
+    # read from (Spark refuses an in-place read+overwrite; a transactional
+    # table format stages via its log — this models that step).
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).drop("__bucket")
+
+
 def compact_files(
     spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
 ) -> DataFrame:

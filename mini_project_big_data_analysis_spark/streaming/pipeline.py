@@ -42,6 +42,68 @@ EVENTS_RAW = T.StructType(
 )
 
 
+#: What the consumer's JSON value deserializer (consumer.py:24) yields per
+#: Kafka message, as a from_json schema. ``ts_ms`` carries event time on the
+#: wire (epoch millis — JSON has no timestamp type); decode restores a
+#: proper TimestampType so the decoded frame is column-identical to
+#: ``read_events_stream`` output and the whole downstream graph composes.
+KAFKA_EVENT_JSON = (
+    "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, "
+    "props STRING, ts_ms BIGINT"
+)
+
+#: The kafka source's fixed wire schema (spark-sql-kafka contract) — tests
+#: construct batch frames of this shape to exercise the decode path without
+#: a broker.
+KAFKA_WIRE_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, offset BIGINT, "
+    "timestamp TIMESTAMP, timestampType INT"
+)
+
+
+def decode_kafka_events(raw: DataFrame) -> DataFrame:
+    """Kafka wire records (binary key/value + metadata) → typed event rows:
+    the consumer's JSON deserializer (consumer.py:24) as engine code.
+
+    Takes ANY frame with the kafka wire schema — the `readStream
+    .format("kafka")` source, or a literal batch frame in tests — so the
+    broker swap is proven to be configuration, not code: everything after
+    ``load()`` is this function plus the same ``clean_event_stream`` /
+    ``tumbling_agg`` graph the file-source pipeline uses."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), KAFKA_EVENT_JSON).alias("e")
+    )
+    return (
+        parsed.select("e.*")
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .drop("ts_ms")
+        .select("event_id", "user_id", "event_type", "value", "props", "ts")
+    )
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """The reference's Kafka consumer (consumer.py:18-25) as source config:
+    subscribe + offsets are options, the value codec is
+    ``decode_kafka_events``, and the downstream clean/window graph is shared
+    with the file-source pipeline verbatim. Needs
+    ``org.apache.spark:spark-sql-kafka-0-10_2.13`` on the cluster classpath
+    (not bundled with pyspark; absent in this container — the decode path
+    is covered by wire-schema tests instead)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return decode_kafka_events(raw)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the driver's events table (Kafka stand-in).
 
