@@ -48,6 +48,36 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an incoming batch AGAINST the existing corpus (incremental
+    ingest: re-crawls, feed refreshes): returns the incoming rows whose
+    normalized fingerprint already exists, paired with the canonical
+    existing id — the rows an ingest pipeline drops (or links) instead of
+    re-adding.
+
+    Scale shape: the corpus side reduces to (fingerprint, min id) — one
+    hash-agg with map-side partials, grouping 100 TB of text down to one
+    32-byte row per distinct document — and the join on fingerprint is an
+    equi-join AQE broadcasts whenever the incoming batch (or the distinct
+    corpus) fits. The incoming batch never shuffles its payload: only its
+    fingerprint column joins.
+    """
+    corpus_fp = (
+        corpus.withColumn("fingerprint", normalized_fingerprint(text_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("existing_" + id_col))
+    )
+    inc_fp = incoming.withColumn("fingerprint", normalized_fingerprint(text_col))
+    return inc_fp.join(corpus_fp, "fingerprint", "inner").select(
+        id_col, "existing_" + id_col, "fingerprint"
+    )
+
+
 #: ASCII-whitespace tokenizer for the hashing UDFs. Python ``str.split()``
 #: splits on Unicode whitespace (NBSP, U+2028, …) but Java's ``\s+`` (the
 #: engine's word_shingles / Spark F.split) and DuckDB's RE2 ``\s+`` (the SQL

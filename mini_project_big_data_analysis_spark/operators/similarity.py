@@ -325,6 +325,27 @@ def ivf_topk(
     return _topk_per_query(scored, query_id_col, id_col, k)
 
 
+def label_centroids(
+    vectors: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid (mean-pooled embedding) in long format
+    (group, pos, centroid_v) — class prototypes / cluster centers, the
+    aggregation every curriculum or IVF build step needs.
+
+    posexplode × dim rows feed ONE hash aggregate on (group, pos) with
+    map-side partial sums, so the shuffle carries groups × dim partial
+    rows, not the corpus — the dataflow equivalent of a vector UDAF, with
+    no Python in the loop and a direct SQL mirror. Long format is the
+    mergeable form; pivot to arrays at the consumer if needed."""
+    return (
+        vectors.select(group_col, F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy(group_col, "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"))
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,

@@ -79,8 +79,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "sql_tpch_q1",
     "sql_tpch_q5",
     # Round-3 additions — never driver-checked, need their first hard rows.
+    # (The window holds 50; whatever spills past it stays covered by the
+    # local harness and rotates into the next round's window.)
     "snk_upsert_write",
     "agg_cached_dashboard",
+    "sql_tpch_q3",
+    "sql_tpch_q6",
+    "ext_dedup_incremental",
+    "ext_embed_centroids",
+    "window_cume_dist",
+    "fn_url_extract",
     # Rows-only ids (oracle=None by design) — the driver's weaker rows>0
     # check applies wherever they sit; they fill the tail of the window.
     "stream_tumbling_agg",

@@ -283,3 +283,46 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_INCR_ORACLE = r"""
+WITH corpus_fp AS (
+  SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
+                                 '\s+', ' ', 'g'))) AS fingerprint,
+         min(doc_id) AS existing_doc_id
+  FROM documents
+  GROUP BY 1
+), incoming AS (
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents
+  WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'recrawl-v1'), 1, 8))::UBIGINT)::BIGINT
+        < 858993459
+)
+SELECT i.doc_id, c.existing_doc_id, c.fingerprint
+FROM (SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
+                                     '\s+', ' ', 'g'))) AS fingerprint
+      FROM incoming) i
+JOIN corpus_fp c USING (fingerprint)
+"""
+
+
+@register("ext_dedup_incremental", _INCR_ORACLE)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a re-crawled batch (a deterministic 20%
+    hash-sample of the corpus under fresh ids — simulating the same pages
+    fetched again) deduped AGAINST the existing corpus by normalized
+    fingerprint. Returns (new id, canonical existing id, fingerprint) — the
+    rows an ingest run drops instead of re-adding. The corpus side reduces
+    to one 32-byte row per distinct document before the join
+    (operators/dedup.py incremental_dedup)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import incremental_dedup
+    from ..operators.pipeline import hash_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    incoming = docs.filter(
+        hash_bucket("doc_id", "recrawl-v1") < F.lit(858993459)  # int(0.2 * 2^32)
+    ).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return incremental_dedup(docs, incoming, text_col="text", id_col="doc_id")

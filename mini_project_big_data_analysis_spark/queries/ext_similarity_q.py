@@ -115,3 +115,31 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=10, n_centroids=16, n_probe=4,
         id_col="vec_id", vec_col="embedding", query_id_col="query_id",
     )
+
+
+_CENTROID_ORACLE = """
+    SELECT label,
+           pos,
+           round(avg(v), 6) AS centroid_v
+    FROM (
+        SELECT label,
+               unnest(embedding)::DOUBLE AS v,
+               (generate_subscripts(embedding, 1) - 1)::INT AS pos
+        FROM embeddings
+    ) t
+    GROUP BY label, pos
+"""
+
+
+@register("ext_embed_centroids", _CENTROID_ORACLE)
+def ext_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled embedding centroid (class prototypes — the
+    build step for IVF cells, curriculum distance features, cluster
+    labeling) in mergeable long format (label, pos, centroid_v):
+    posexplode × dim feeds one hash-agg on (label, pos) with map-side
+    partial sums — the dataflow form of a vector UDAF, no Python in the
+    loop (operators/similarity.py label_centroids)."""
+    from ..operators.similarity import label_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    return label_centroids(emb, group_col="label", vec_col="embedding")

@@ -192,6 +192,53 @@ def ext_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_URL_ORACLE = """
+    WITH urls AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+               || '://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&v=2' AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           url,
+           regexp_extract(url, '^([a-z]+)://', 1)            AS scheme,
+           regexp_extract(url, '^[a-z]+://([^/:?]+)', 1)     AS host,
+           regexp_extract(url, '^[a-z]+://[^/?]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1)        AS lang_param
+    FROM urls
+"""
+
+
+@register("fn_url_extract", _URL_ORACLE)
+def fn_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL structure extraction (provenance bucketing by host, dedup by
+    normalized path — crawl-pipeline staples) via Spark's codegen'd
+    ``parse_url``. The fixture corpus carries no URLs, so the query derives
+    a deterministic one per doc first; the oracle rebuilds the same string
+    and extracts with RE2 — agreeing outputs prove parse_url's
+    HOST/PATH/QUERY semantics against an independent implementation."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
 _WINNOW_ORACLE = r"""
     WITH pos AS (
         SELECT doc_id, text, len(text) - 7 AS n_grams,

@@ -63,3 +63,57 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q5)
+
+
+# o_shippriority is absent from the driver's orders table; o_orderpriority
+# stands in — the plan shape (join + agg + top-k) is the point.
+_Q3 = """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       o.o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register("sql_tpch_q3", _Q3)
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): segment-filtered 3-way join, grouped
+    revenue, total-order top-10. The segment and both date predicates push
+    to their scans; the final ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject — only 10 rows per partition ever reach the
+    driver-side merge. DECIMAL revenue keeps the sort key bit-stable across
+    engines (doubles could flip equal-revenue rank order)."""
+    for t in ("customer", "orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q3)
+
+
+_Q6 = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("sql_tpch_q6", _Q6)
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure scan-filter-aggregate — the
+    predicate-pushdown benchmark. All four range predicates reach the
+    parquet scan as DataFilters (row-group stats prune whole chunks); what
+    survives feeds a single partial+final agg with no grouping key."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6)

@@ -172,3 +172,31 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "event_type", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@register(
+    "window_cume_dist",
+    """
+    SELECT event_id, event_type,
+           round(cume_dist() OVER
+                 (PARTITION BY event_type ORDER BY value), 6) AS cume_d,
+           round(percent_rank() OVER
+                 (PARTITION BY event_type ORDER BY value), 6) AS pct_rank
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group empirical CDF position + percent rank (quality-score
+    percentiles for filtering thresholds — 'keep the top 30% per language'
+    style gates). Rank functions depend only on the ORDER BY key values, so
+    value ties get identical ranks in both engines with no tiebreak column
+    needed. One shuffle on the partition key, same window frame for both
+    functions — Spark evaluates them in a single Window operator."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.cume_dist().over(w), 6).alias("cume_d"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
