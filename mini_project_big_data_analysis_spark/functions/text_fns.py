@@ -234,6 +234,14 @@ def winnow_fingerprints(
     positions = F.when(
         F.length(t) >= k, F.sequence(F.lit(1), F.length(t) - F.lit(k - 1))
     ).otherwise(F.array().cast("array<int>"))
+    # Hash-distribute docs BEFORE the gram explode: a single-file scan is one
+    # partition, which would run every md5 on one core — and the window below
+    # requires hash(id_col) distribution anyway, so this shuffle replaces the
+    # window's Exchange rather than adding one (the md5 work is what moves
+    # off the single core).
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    df = df.repartition(n_parts, id_col)
     grams = df.select(
         id_col,
         t.alias("__t"),

@@ -142,6 +142,34 @@ def add_lsh_bucket(
     return vectors.withColumn(out_col, bucket)
 
 
+def _multi_table_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Arrow-vectorized ``array<float> -> array<int>``: the vector's bucket
+    id in each of ``n_tables`` independent hyperplane sets, one matmul per
+    Arrow batch against a closure-captured (tables × planes, dim) matrix.
+
+    Replaces ``n_tables × n_planes`` inlined literal-array dot expressions —
+    that form worked for one table but at 6 tables built a ~2300-literal
+    projection whose Catalyst canonicalization dominated runtime (same
+    failure mode as the IVF centroid expressions, see _nearest_cells_udf)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mats = np.stack(
+        [np.asarray(_hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
+    )  # (T, P, dim)
+    flat = mats.reshape(-1, dim)
+    weights = 1 << np.arange(n_planes)
+
+    def buckets(vecs):
+        m = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
+        signs = (m @ flat.T) > 0  # (n, T*P)
+        bits = signs.reshape(len(m), n_tables, n_planes)
+        out = (bits * weights).sum(axis=2).astype("int32")
+        return pd.Series([row.tolist() for row in out])
+
+    return pandas_udf(buckets, "array<int>")
+
+
 def _hamming_masks(n_planes: int, radius: int) -> list[int]:
     """All XOR masks within Hamming distance ``radius`` of 0 over
     ``n_planes`` bits, sorted. radius=0 → [0] (exact bucket only)."""
@@ -190,49 +218,38 @@ def lsh_bucketed_topk(
     uniform-random vectors (top-k cosine ≈ 0.3) no sublinear method
     separates neighbors, and recall must be bought with more tables — the
     fixture tests pin both regimes."""
-    table_cols = []
-    bucketed = _spread(vectors)
-    queries = query.select(F.col(query_id_col), F.col(vec_col).alias("qvec"))
-    for t in range(n_tables):
-        bucketed = add_lsh_bucket(
-            bucketed, dim, n_planes, vec_col, seed + t, out_col=f"__b{t}"
-        )
-        queries = add_lsh_bucket(
-            queries, dim, n_planes, "qvec", seed + t, out_col=f"__qb{t}"
-        )
-        table_cols.append(t)
-    corpus = bucketed.select(
+    buckets_udf = _multi_table_buckets_udf(dim, n_planes, n_tables, seed)
+    corpus = _spread(vectors).select(
         id_col,
         vec_col,
-        F.posexplode(F.array(*[F.col(f"__b{t}") for t in table_cols])).alias(
-            "lsh_table", "lsh_bucket"
-        ),
+        F.posexplode(buckets_udf(F.col(vec_col))).alias("lsh_table", "lsh_bucket"),
+    )
+    queries = query.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("qvec"),
+        F.posexplode(buckets_udf(F.col(vec_col))).alias("lsh_table", "__qbucket"),
     )
     masks = _hamming_masks(n_planes, probe_radius)
     probes = queries.select(
         query_id_col,
         "qvec",
-        F.posexplode(
-            F.array(
-                *[
-                    F.array(
-                        *[F.col(f"__qb{t}").bitwiseXOR(F.lit(m)) for m in masks]
-                    )
-                    for t in table_cols
-                ]
-            )
-        ).alias("lsh_table", "__probes"),
-    ).select(
-        query_id_col, "qvec", "lsh_table", F.explode("__probes").alias("lsh_bucket")
+        "lsh_table",
+        F.explode(
+            F.array(*[F.col("__qbucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("lsh_bucket"),
     )
-    candidates = (
-        corpus.join(F.broadcast(probes), on=["lsh_table", "lsh_bucket"])
-        .filter(F.col(id_col) != F.col(query_id_col))
+    candidates = corpus.join(
+        F.broadcast(probes), on=["lsh_table", "lsh_bucket"]
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    # Score BEFORE deduping multi-table/multi-probe hits: cosine is
+    # deterministic (dup rows carry equal scores), scoring is codegen-cheap,
+    # and the dedup shuffle then moves (query, id, score) triples instead of
+    # rows dragging two dim-length float arrays.
+    scored = (
+        candidates.withColumn("cosine_sim", F.round(cosine(vec_col, "qvec"), 6))
+        .select(query_id_col, id_col, "cosine_sim")
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = candidates.withColumn(
-        "cosine_sim", F.round(cosine(vec_col, "qvec"), 6)
-    ).select(query_id_col, id_col, "cosine_sim")
     return _topk_per_query(scored, query_id_col, id_col, k)
 
 

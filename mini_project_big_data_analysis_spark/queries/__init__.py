@@ -89,6 +89,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_embed_centroids",
     "window_cume_dist",
     "fn_url_extract",
+    "agg_grouping_sets",
+    "ext_tfidf_topterms",
     # Rows-only ids (oracle=None by design) — the driver's weaker rows>0
     # check applies wherever they sit; they fill the tail of the window.
     "stream_tumbling_agg",

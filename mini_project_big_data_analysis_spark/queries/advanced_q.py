@@ -154,3 +154,42 @@ def fn_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
         F.regexp_count("text", F.lit(r"[0-9]+")).alias("n_numbers"),
     )
+
+
+_GSETS_SQL = """
+SELECT event_type,
+       user_mod,
+       grouping(event_type) AS g_type,
+       grouping(user_mod)   AS g_user,
+       count(*)             AS n,
+       round(avg(value), 6) AS avg_value
+FROM events_gs
+GROUP BY GROUPING SETS ((event_type), (user_mod), ())
+"""
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT event_type,
+           user_mod,
+           grouping(event_type) AS g_type,
+           grouping(user_mod)   AS g_user,
+           count(*)             AS n,
+           round(avg(value), 6) AS avg_value
+    FROM (SELECT event_type, user_id % 10 AS user_mod, value FROM events) events_gs
+    GROUP BY GROUPING SETS ((event_type), (user_mod), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — arbitrary (non-hierarchical) grouping
+    combinations in ONE Expand + hash-aggregate pass instead of N scans,
+    with grouping() flags disambiguating which set produced each row (the
+    NULL-vs-aggregated distinction CUBE/ROLLUP consumers need). Completes
+    the grouping-sets family next to agg_rollup/agg_cube."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", (F.col("user_id") % 10).alias("user_mod"), "value")
+    )
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(_GSETS_SQL)

@@ -7,7 +7,7 @@ UDFs — so the oracle can mirror each formula exactly: ratios are rationals
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text_fns
@@ -266,3 +266,74 @@ def ext_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     — gram hashes are md5 prefixes, reproduced byte-for-byte in SQL."""
     docs = load(spark, sf_dir, "documents")
     return text_fns.winnow_fingerprints(docs, k=8, w=4)
+
+
+_TFIDF_ORACLE = r"""
+    WITH words AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS word
+        FROM documents
+    ), tf AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents
+    ), tf_counts AS (
+        SELECT doc_id, word, count(*) AS tf FROM tf GROUP BY doc_id, word
+    ), df_counts AS (
+        SELECT word, count(*) AS df FROM words GROUP BY word
+    ), n_docs AS (
+        SELECT count(*) AS n FROM documents
+    ), scored AS (
+        SELECT t.doc_id, t.word,
+               round(t.tf * ln(n.n::DOUBLE / d.df), 6) AS tfidf,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY t.tf * ln(n.n::DOUBLE / d.df) DESC, t.word)
+                   AS rnk
+        FROM tf_counts t
+        JOIN df_counts d USING (word)
+        CROSS JOIN n_docs n
+    )
+    SELECT doc_id, word, tfidf, CAST(rnk AS INT) AS rnk
+    FROM scored WHERE rnk <= 3
+"""
+
+
+@register("ext_tfidf_topterms", _TFIDF_ORACLE)
+def ext_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF — the classic
+    keyword/topic signal for corpus exploration and near-dup triage.
+
+    Dataflow: one explode of the token stream feeds BOTH the per-doc term
+    frequencies and (via distinct doc-word pairs) the document frequencies
+    — two hash-aggs off a shared scan; the tiny (1-row) corpus count and
+    the df table join back by word (AQE broadcasts df when it fits); the
+    per-doc top-3 is a bounded window. The word ties break
+    lexicographically so both engines rank identically."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = (
+        words.distinct().groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_counts, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_raw",
+            F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "word",
+            F.round("tfidf_raw", 6).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
