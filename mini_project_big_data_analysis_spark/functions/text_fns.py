@@ -263,3 +263,27 @@ def winnow_fingerprints(
         .select(id_col, "fingerprint")
         .distinct()
     )
+
+
+def compression_ratio_udf():
+    """Arrow-vectorized ``string -> double``: deflate(level 6) bytes over
+    raw utf-8 bytes. The classic repetition/noise quality signal — cheap,
+    language-agnostic, and deterministic for a fixed zlib. Batched through
+    Arrow so Python overhead is per-batch, and zlib.compress releases the
+    GIL (batches compress concurrently across executor threads)."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def ratios(texts):
+        out = []
+        for t in texts:
+            if not t:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            out.append(len(zlib.compress(raw, 6)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    return pandas_udf(ratios, "double")

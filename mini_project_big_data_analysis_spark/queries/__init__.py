@@ -91,6 +91,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "fn_url_extract",
     "agg_grouping_sets",
     "ext_tfidf_topterms",
+    "ext_repetition_stats",
+    "ext_quality_gate",
+    "stream_static_enrich",
+    "ext_compression_ratio",
     # Rows-only ids (oracle=None by design) — the driver's weaker rows>0
     # check applies wherever they sit; they fill the tail of the window.
     "stream_tumbling_agg",

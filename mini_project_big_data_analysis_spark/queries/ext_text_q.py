@@ -337,3 +337,128 @@ def ext_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+_REPETITION_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), big AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+        WHERE len(t) >= 2
+    ), counts AS (
+        SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           sum(c) AS n_bigrams,
+           round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+    FROM counts GROUP BY doc_id
+"""
+
+
+@register("ext_repetition_stats", _REPETITION_ORACLE)
+def ext_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (the Gopher/MassiveText duplicate-n-gram rule):
+    fraction of a document's bigrams taken by its single most frequent
+    bigram — high values flag boilerplate/spam for corpus filtering.
+
+    Bigrams come from zip_with(tokens, shift-by-one) — row-local, no join —
+    then two hash-aggs: (doc, bigram) counts, then per-doc max/sum. Both
+    shuffles key on doc_id(+bigram), partial aggregation map-side; skew
+    bounded by max document length."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_bigram_frac"),
+    )
+
+
+_GATE_ORACLE = r"""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_words,
+               round(length(replace(text, ' ', ''))::DOUBLE
+                     / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+                   AS mean_word_len,
+               round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                     w -> regexp_full_match(w, '[A-Za-z]+')))::DOUBLE
+                     / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+                   AS alpha_frac
+        FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac,
+           (n_words BETWEEN 10 AND 100000
+            AND mean_word_len BETWEEN 2.0 AND 12.0
+            AND alpha_frac >= 0.6) AS passes
+    FROM m
+"""
+
+
+@register("ext_quality_gate", _GATE_ORACLE)
+def ext_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus quality gate: word-count bounds, mean word
+    length bounds, alphabetic-word fraction — the standard pre-training
+    document filter, as pure column expressions over ONE token split
+    (staged select so the split isn't re-inlined per metric; cf. the
+    ext_lang_quality plan lesson). Emits the metrics plus the boolean
+    verdict so downstream can either filter or audit."""
+    docs = load(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
+    )
+    n_words = F.greatest(F.size("toks"), F.lit(1))
+    metrics = staged.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.round(F.col("n_nonspace").cast("double") / n_words, 6).alias(
+            "mean_word_len"
+        ),
+        F.round(
+            F.size(F.filter("toks", lambda w: w.rlike("^[A-Za-z]+$"))).cast("double")
+            / n_words,
+            6,
+        ).alias("alpha_frac"),
+    )
+    return metrics.select(
+        "*",
+        (
+            F.col("n_words").between(10, 100000)
+            & F.col("mean_word_len").between(2.0, 12.0)
+            & (F.col("alpha_frac") >= 0.6)
+        ).alias("passes"),
+    )
+
+
+@register("ext_compression_ratio", None)  # rows-only: no zlib in ANSI SQL
+def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (CCNet/RefinedWeb style): highly
+    compressible text is repetitive boilerplate; near-incompressible text
+    is noise/binary junk. deflate-level-6 ratio per doc via an Arrow
+    pandas_udf (vectorized batches; zlib releases the GIL). Inequality
+    semantics pinned in pytest (repetitive < natural < random); rows-only
+    driver check — DuckDB has no deflate."""
+    docs = load(spark, sf_dir, "documents")
+    ratio = text_fns.compression_ratio_udf()
+    spread = docs.repartition(
+        max(spark.sparkContext.defaultParallelism, 8), "doc_id"
+    )
+    return spread.select(
+        "doc_id",
+        F.round(ratio(F.col("text")), 4).alias("comp_ratio"),
+    ).withColumn("is_repetitive", F.col("comp_ratio") < 0.35)

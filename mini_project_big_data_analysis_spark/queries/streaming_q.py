@@ -140,3 +140,25 @@ def stream_weather_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "stream_static_enrich",
+    """
+    SELECT e.event_id, e.user_id, e.event_type,
+           coalesce(n.n_name, 'unknown') AS nation
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE e.value IS NOT NULL AND e.ts IS NOT NULL AND e.event_type IS NOT NULL
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (the reference's city→island
+    lookup, app.py:46, moved to ingest time): each micro-batch joins the
+    static user→nation dim broadcast-side. STRONG oracle — the streamed
+    sink must equal the batch left-join over the same tables (a dropped or
+    duplicated micro-batch row breaks the hash)."""
+    from ..streaming.pipeline import run_stream_static_enrich
+
+    return run_stream_static_enrich(spark, sf_dir)

@@ -229,6 +229,49 @@ def run_clean_to_parquet_availablenow(
     return spark.read.parquet(path).select("event_id", "user_id", "event_type", "value")
 
 
+def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the dashboard's dimension enrichment (app.py:46
+    ``get_pulau`` lookup) applied IN-stream — each micro-batch broadcast-
+    joins the static user→nation dim, so enrichment happens at ingest
+    instead of per dashboard refresh.
+
+    The static side is planned once and broadcast to every micro-batch
+    (stateless join, append mode, no watermark needed); at 100 TB of stream
+    the dim is still broadcast-sized — the same plan shape. STRONG oracle:
+    the enriched sink must equal the batch left-join over the same tables.
+    """
+    from ..sources.readers import read_table
+
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
+    stream = clean_event_stream(read_events_stream(spark, sf_dir))
+    customer = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    dim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left"
+    ).select("user_id", "n_name")
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce("n_name", F.lit("unknown")).alias("nation"),
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def run_stream_dedup_availablenow(
     spark: SparkSession, sf_dir: str, keys: tuple[str, ...] = ("user_id", "event_type")
 ) -> DataFrame:

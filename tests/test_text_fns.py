@@ -98,3 +98,31 @@ def test_winnow_fingerprints_edges_and_overlap(spark):
     assert 1 not in by_doc and 2 not in by_doc and 3 not in by_doc
     # containment: doc 5 embeds doc 4 verbatim => shares fingerprints
     assert by_doc[4] & by_doc[5]
+
+
+def test_compression_ratio_orders_repetitive_natural_random(spark):
+    from mini_project_big_data_analysis_spark.functions.text_fns import (
+        compression_ratio_udf,
+    )
+    import pyspark.sql.functions as F
+
+    import hashlib
+
+    h, noise = b"seed", []
+    for _ in range(64):
+        h = hashlib.md5(h).digest()
+        noise.append(h.hex())
+    rows = [
+        (1, "spam spam spam spam " * 50),                      # repetitive
+        (2, "the quick brown fox jumps over the lazy dog and "
+            "walks home through quiet evening streets " * 10), # natural-ish
+        (3, "".join(noise)),                                   # hash-chain noise
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ratio = compression_ratio_udf()
+    got = {
+        r.doc_id: r.cr
+        for r in df.select("doc_id", ratio(F.col("text")).alias("cr")).collect()
+    }
+    assert got[1] < got[2] < got[3], got
+    assert got[1] < 0.2 and got[3] > 0.5
