@@ -95,6 +95,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_quality_gate",
     "stream_static_enrich",
     "ext_compression_ratio",
+    "join_dpp_partitioned",
+    "src_text_roundtrip",
     # Rows-only ids (oracle=None by design) — the driver's weaker rows>0
     # check applies wherever they sit; they fill the tail of the window.
     "stream_tumbling_agg",

@@ -261,3 +261,64 @@ def snk_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
     sup.repartition(32).write.parquet(frag)
     return compact_files(spark, frag, target_bytes=64 * 1024 * 1024)
+
+
+@register(
+    "join_dpp_partitioned",
+    """
+    SELECT ts::DATE AS event_date,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    WHERE strftime(ts::DATE, '%w') IN ('0', '6')
+    GROUP BY 1
+    """,
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is written partitioned by
+    event_date; the weekend filter lives on the DIM side only, so static
+    pruning sees nothing to prune — at runtime Spark evaluates the dim,
+    builds the surviving date set, and injects it into the fact scan's
+    PartitionFilters (``dynamicpruningexpression`` — pinned in
+    tests/test_plans.py). At 100 TB this is the difference between scanning
+    ~2/7 of the date directories and scanning all of them; no predicate
+    duplication needed on the fact side."""
+    from ..sources.writers import write_partitioned
+
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    path = os.path.join(
+        tempfile.gettempdir(), "mpbda_spark_sink", f"dpp_{uuid.uuid4().hex}"
+    )
+    write_partitioned(ev.select("event_date", "value"), path, ["event_date"])
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.select("event_date")
+        .distinct()
+        .filter(F.dayofweek("event_date").isin(1, 7))  # Sun=1, Sat=7
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "src_text_roundtrip",
+    "SELECT text AS value FROM documents",
+)
+def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text sink + source (the fifth built-in format next to parquet/
+    JSON/CSV/ORC): one line per document, read back as the single ``value``
+    column — the raw-corpus interchange format text pipelines actually
+    exchange. Line-per-record requires newline-free rows (the fixture
+    corpus is); anything richer belongs in the structured formats."""
+    docs = load(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(), "mpbda_spark_sink", f"text_{uuid.uuid4().hex}"
+    )
+    docs.select(F.col("text").alias("value")).write.text(path)
+    return spark.read.text(path)

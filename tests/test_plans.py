@@ -119,3 +119,51 @@ def test_token_pack_single_shuffle_on_shard(spark, sf_dir):
         assert "hashpartitioning(shard" in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_dpp_injects_runtime_partition_filter(spark, sf_dir, tmp_path):
+    """The fact scan must carry a dynamicpruningexpression: the weekend
+    predicate lives only on the dim side, so pruning can happen at runtime
+    or not at all."""
+    from mini_project_big_data_analysis_spark.sources.writers import write_partitioned
+
+    ev = load_events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+    path = str(tmp_path / "dpp_fact")
+    write_partitioned(ev.select("event_date", "value"), path, ["event_date"])
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.select("event_date").distinct().filter(F.dayofweek("event_date").isin(1, 7))
+    )
+    joined = fact.join(F.broadcast(dim), "event_date").groupBy("event_date").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_stream_static_enrich_broadcasts_dim(spark, sf_dir):
+    """The static dim side must broadcast into each micro-batch — a
+    shuffled stream-static join would re-shuffle every batch."""
+    from mini_project_big_data_analysis_spark.streaming.pipeline import (
+        run_stream_static_enrich,
+    )
+
+    out = run_stream_static_enrich(spark, sf_dir)
+    assert out.count() > 0
+    # the executed streaming plan is gone once the query stops; assert on
+    # the equivalent batch graph, which plans the same join
+    from mini_project_big_data_analysis_spark.sources.readers import read_table
+
+    customer = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left"
+    ).select("user_id", "n_name")
+    ev = load_events(spark, sf_dir)
+    plan = (
+        ev.join(F.broadcast(dim), "user_id", "left")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
