@@ -97,6 +97,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_compression_ratio",
     "join_dpp_partitioned",
     "src_text_roundtrip",
+    "sql_tpch_q10",
+    "window_range_frame",
+    "ext_dedup_editdist",
     # Rows-only ids (oracle=None by design) — the driver's weaker rows>0
     # check applies wherever they sit; they fill the tail of the window.
     "stream_tumbling_agg",

@@ -11,6 +11,7 @@ oracle); MinHash-LSH and SimHash depend on hash seeds DuckDB can't reproduce
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .base import load, register
 
@@ -326,3 +327,50 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_bucket("doc_id", "recrawl-v1") < F.lit(858993459)  # int(0.2 * 2^32)
     ).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     return incremental_dedup(docs, incoming, text_col="text", id_col="doc_id")
+
+
+_LEV_ORACLE = """
+WITH keyed AS (
+    SELECT doc_id, lang, source, substr(text, 1, 12) AS prefix
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.prefix, b.prefix) AS edit_dist
+FROM keyed a
+JOIN keyed b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 6
+"""
+
+
+@register("ext_dedup_editdist", _LEV_ORACLE)
+def ext_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match pairs (fuzzy title/entity matching — the
+    record-linkage tier character-level where Jaccard/MinHash are
+    token-level): Levenshtein ≤ 6 on 12-char prefixes, compared only
+    within (lang, source) blocks. Blocking turns the quadratic comparison
+    into an equi-join whose per-block pair count is bounded; levenshtein
+    itself is a codegen'd built-in on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "lang", "source", F.substring("text", 1, 12).alias("prefix")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .withColumn("edit_dist", F.levenshtein(F.col("a.prefix"), F.col("b.prefix")))
+        .filter(F.col("edit_dist") <= 6)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            "edit_dist",
+        )
+    )

@@ -117,3 +117,33 @@ def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives feeds a single partial+final agg with no grouping key."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q6)
+
+
+_Q10 = """
+SELECT c.c_custkey,
+       c.c_name,
+       n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("sql_tpch_q10", _Q10)
+def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): who returned the most revenue
+    last quarter — 4-way join with BOTH fact-side predicates (date range on
+    orders, returnflag on lineitem) pushed to their scans before the join,
+    nation broadcast, decimal-stable top-20."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q10)

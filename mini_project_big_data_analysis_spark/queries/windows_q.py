@@ -200,3 +200,35 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume_d"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id
+               ORDER BY floor(epoch(ts))::BIGINT
+               RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 6)
+               AS avg_30min
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based (RANGE) window frame: per-user trailing-30-minute mean —
+    the VALUE-bounded frame family (window_rolling_avg covers the
+    ROWS-count-bounded one). RANGE frames depend only on the ordering key's
+    values, so irregular event spacing and ordering ties are handled
+    identically in both engines with no tiebreak column. One shuffle on
+    user_id; frame evaluation is a single sorted pass per partition."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-1800, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_30min"),
+    )
