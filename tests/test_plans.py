@@ -167,3 +167,25 @@ def test_stream_static_enrich_broadcasts_dim(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q6_predicates_push_to_scan(spark, sf_dir):
+    """All four Q6 range predicates must reach the lineitem scan as
+    PushedFilters — the whole point of a scan-filter-agg query."""
+    from mini_project_big_data_analysis_spark.queries.sql_q import sql_tpch_q6
+
+    df = sql_tpch_q6(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in plan.split("PushedFilters", 1)[1][:500], frag
+
+
+def test_tpch_q3_uses_top_k_not_full_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject: only k rows
+    per partition reach the driver-side merge, never a global sort."""
+    from mini_project_big_data_analysis_spark.queries.sql_q import sql_tpch_q3
+
+    df = sql_tpch_q3(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
