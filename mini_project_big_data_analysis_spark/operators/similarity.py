@@ -342,6 +342,45 @@ def ivf_topk(
     return _topk_per_query(scored, query_id_col, id_col, k)
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float,
+    block_col: str | None = None,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): drop semantically-redundant
+    documents by embedding similarity — cluster the corpus, find
+    within-cluster pairs with cosine ≥ threshold, keep only the minimum-id
+    representative of every connected near-dup group.
+
+    ``block_col=None`` clusters by nearest deterministic centroid (one
+    Arrow matmul per batch — the paper's k-means step, seeded identically
+    to the IVF index so the two share layout); an explicit column makes the
+    operator exact-within-block and SQL-mirrorable. Pipeline: blocked BLAS
+    gram pairs (never all-pairs) → min-label connected components →
+    left_anti of the dropped ids. At 100 TB each stage is the already-
+    scale-shaped operator it delegates to."""
+    from .components import connected_components
+
+    if block_col is None:
+        centroids = _centroids_from_corpus(vectors, n_clusters, id_col, vec_col)
+        nearest1 = _nearest_cells_udf(centroids, 1)
+        vectors = vectors.withColumn(
+            "semdedup_cell", F.element_at(nearest1(F.col(vec_col)), 1)
+        )
+        block_col = "semdedup_cell"
+    pairs = embedding_near_dup_pairs(
+        vectors, threshold, block_col=block_col, id_col=id_col, vec_col=vec_col
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    dropped = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return vectors.join(dropped, id_col, "left_anti").drop("semdedup_cell")
+
+
 def label_centroids(
     vectors: DataFrame,
     group_col: str = "label",

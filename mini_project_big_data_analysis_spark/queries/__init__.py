@@ -100,6 +100,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "sql_tpch_q10",
     "window_range_frame",
     "ext_dedup_editdist",
+    "ext_semdedup",
     # Rows-only ids (oracle=None by design) — the driver's weaker rows>0
     # check applies wherever they sit; they fill the tail of the window.
     "stream_tumbling_agg",

@@ -143,3 +143,46 @@ def ext_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return label_centroids(emb, group_col="label", vec_col="embedding")
+
+
+_SEMDEDUP_ORACLE = """
+WITH RECURSIVE edges AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+        >= 0.3
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION
+  SELECT id_b AS a, id_a AS b FROM edges
+),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node
+),
+comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT node FROM comps WHERE node <> comp)
+"""
+
+
+@register("ext_semdedup", _SEMDEDUP_ORACLE)
+def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: within-cluster cosine pairs → connected
+    near-dup groups → keep the min-id representative, drop the rest. The
+    registered form blocks by the explicit label column so the whole
+    funnel (pairs, transitive closure, survivor anti-join) has a byte-exact
+    recursive-CTE oracle; the centroid-clustered scale path (block_col=
+    None) is pinned by unit test with planted duplicates. The 0.3
+    threshold is fixture-tuned (uniform-random vectors); real embedding
+    corpora run 0.9+."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, threshold=0.3, block_col="label", id_col="vec_id", vec_col="embedding"
+    ).select("vec_id", "label")

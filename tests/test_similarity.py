@@ -120,3 +120,20 @@ def test_ivf_topk_recall_and_exactness(spark):
     # per query are bounded well below the corpus
     per_q = {qid: len([r for r in ann if r.query_id == qid]) for qid in (0, 1, 2)}
     assert all(v <= 5 for v in per_q.values())
+
+
+def test_semantic_dedup_clustered_drops_planted_duplicates(spark):
+    df, vecs = _vectors(spark, n=40)
+    # plant two near-copies of vector 0 (scaled => cosine 1.0 with it)
+    planted = spark.createDataFrame(
+        [(200, (vecs[0] * 2.0).tolist(), 0), (201, (vecs[0] * 0.5).tolist(), 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity.semantic_dedup(
+        df.unionByName(planted), threshold=0.999, block_col=None, n_clusters=4
+    )
+    kept = {r.vec_id for r in out.select("vec_id").collect()}
+    # the min-id representative (0) survives; the planted copies are dropped
+    assert 0 in kept and 200 not in kept and 201 not in kept
+    # nothing else shares cosine >= 0.999 in a random set: all others kept
+    assert kept == set(range(40))
