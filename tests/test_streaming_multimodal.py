@@ -155,3 +155,43 @@ def test_weather_poll_batch_plans_one_partition_per_city(spark):
     df = spark.read.format("weather_poll").option("cycles", 2).load()
     assert df.rdd.getNumPartitions() == len(CITIES)  # 16-way parallel poll
     assert df.count() == len(CITIES) * 2
+
+
+def test_stream_restarts_from_checkpoint_exactly_once(spark, tmp_path):
+    """Stop → new data → restart with the SAME checkpoint: the resumed
+    query must process only the new file (offsets recovered) and the
+    file-sink log must keep the first run's output — exactly-once across
+    restarts, the durability upgrade over the reference's auto-commit
+    consumer (consumer.py:21-23, where a restart loses or replays data)."""
+    import os
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src)
+    schema = "k long, v string"
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_once()
+    assert spark.read.parquet(sink).count() == 3
+
+    spark.createDataFrame([(4, "d"), (5, "e")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()  # restart: same checkpoint, must pick up ONLY the new file
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
