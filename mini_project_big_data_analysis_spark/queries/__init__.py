@@ -101,6 +101,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_range_frame",
     "ext_dedup_editdist",
     "ext_semdedup",
+    "fn_map_wordcounts",
     # Rows-only ids (oracle=None by design) — the driver's weaker rows>0
     # check applies wherever they sit; they fill the tail of the window.
     "stream_tumbling_agg",

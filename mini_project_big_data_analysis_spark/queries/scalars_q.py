@@ -340,3 +340,48 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.try_cast("bigint").alias("as_int"),
         raw.try_cast("double").alias("as_double"),
     )
+
+
+@register(
+    "fn_map_wordcounts",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    )
+    SELECT doc_id,
+           count(DISTINCT token)                        AS n_distinct,
+           count(*) FILTER (WHERE token = 'table')      AS n_table,
+           count(*) FILTER (WHERE token = 'value')      AS n_value
+    FROM toks GROUP BY doc_id
+    """,
+)
+def fn_map_wordcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip (the one Spark container type the catalog hadn't
+    exercised): per-doc word→count map built with map_from_entries over the
+    aggregated (word, count) pairs, then consumed via try_element_at (ANSI
+    mode: plain element_at throws on missing keys) and size(). The exported
+    columns are scalars — map column ordering is engine-defined, so the map
+    itself never crosses the comparator; the oracle recomputes the lookups
+    relationally."""
+    from .base import load
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mapped = counts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("token", "c")))
+        ).alias("wc")
+    )
+    return mapped.select(
+        "doc_id",
+        F.size("wc").alias("n_distinct"),
+        F.coalesce(F.try_element_at("wc", F.lit("table")), F.lit(0)).alias("n_table"),
+        F.coalesce(F.try_element_at("wc", F.lit("value")), F.lit(0)).alias("n_value"),
+    )
