@@ -59,6 +59,11 @@ def main() -> int:
     registry = all_queries()
 
     def run_once(qid: str) -> float:
+        # Per-query isolation: reclaim the previous query's dead blocks /
+        # Arrow buffers BEFORE the clock starts. Without this, garbage from
+        # a pandas-UDF-heavy query inflates the next 2-3 entries 3-7×
+        # (measured; the number then charges query N with query N-1's GC).
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         df = registry[qid].fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()

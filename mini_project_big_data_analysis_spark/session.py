@@ -58,6 +58,13 @@ def get_spark(
         # 128 GiB build box keeps headroom for 32 Python workers. On a real
         # cluster executor memory comes from spark-submit, not this default.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # ContextCleaner only reclaims dropped shuffle files / checkpoint
+        # blocks when a JVM GC runs; the 30-MINUTE default periodicGC means
+        # a query-per-second workload accumulates dead blocks for the whole
+        # session (observed: localCheckpoint blocks from dedup queries
+        # degrading successors). 60s is the standard long-running-driver
+        # setting and what we'd ship.
+        .config("spark.cleaner.periodicGC.interval", "60s")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -40,6 +40,8 @@ def main() -> int:
             return time.time() - t0
 
         def spark_run(fn=q.fn):
+            # same per-query GC isolation as bench.py (see note there)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             return time.time() - t0
