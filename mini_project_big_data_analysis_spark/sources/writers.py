@@ -105,6 +105,12 @@ def upsert_parquet(
     A table format with a transaction log (Delta/Iceberg MERGE) adds ACID
     on top; the physical plan — prune, anti-join, partition-scoped rewrite —
     is exactly this one.
+
+    Contract: ``updates`` must be key-unique (one row per key tuple), the
+    same precondition Delta's MERGE enforces with its "multiple source rows
+    matched" error — duplicate keys in one batch would all land (the
+    anti-join removes only *existing* rows). Dedupe upstream
+    (``dropDuplicates(keys)``) when the source can replay within a batch.
     """
     bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
     bucketed = updates.withColumn("__bucket", bucket)

@@ -189,3 +189,35 @@ def test_tpch_q3_uses_top_k_not_full_sort(spark, sf_dir):
     df = sql_tpch_q3(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark, sf_dir):
+    """Spark's runtime row-level filtering: a selective filter on one join
+    side injects a bloom_filter_might_contain predicate into the OTHER
+    side's scan — the big side is semi-join-reduced before it shuffles. At
+    100 TB this is the difference between shuffling all of lineitem and
+    shuffling only rows whose key can match. Local fixtures sit under the
+    production size thresholds, so the test lowers them to prove the
+    rewrite fires (the shipped config keeps Spark's defaults)."""
+    from mini_project_big_data_analysis_spark.sources.readers import read_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:1500]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
