@@ -102,6 +102,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_dedup_editdist",
     "ext_semdedup",
     "fn_map_wordcounts",
+    "stream_fanout_sinks",
     # Rows-only ids (oracle=None by design) — the driver's weaker rows>0
     # check applies wherever they sit; they fill the tail of the window.
     "stream_tumbling_agg",

@@ -162,3 +162,27 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_stream_static_enrich
 
     return run_stream_static_enrich(spark, sf_dir)
+
+
+@register(
+    "stream_fanout_sinks",
+    """
+    WITH cleaned AS (
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    )
+    SELECT *, 'archive' AS sink FROM cleaned
+    UNION ALL
+    SELECT *, 'serving' AS sink FROM cleaned
+    """,
+)
+def stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sink fan-out: one micro-batch persisted once, written to two
+    idempotent destinations (archive + serving) inside one foreachBatch —
+    the one-topic-many-consumers pattern without reprocessing the stream
+    per sink. STRONG oracle: both sinks must equal the batch-cleaned table
+    exactly."""
+    from ..streaming.pipeline import run_fanout_sinks_availablenow
+
+    return run_fanout_sinks_availablenow(spark, sf_dir)

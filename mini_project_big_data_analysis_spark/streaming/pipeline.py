@@ -272,6 +272,52 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_fanout_sinks_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One stream, two sinks, one pass: each micro-batch is persisted once
+    inside foreachBatch and written to BOTH destinations (the raw archive
+    and the serving copy — the standard fan-out a pipeline needs when a
+    topic feeds multiple consumers), then unpersisted. Without the persist
+    the second write would re-execute the whole batch plan; with it the
+    batch computes once however many sinks are added.
+
+    Each sink is independently idempotent (batch_id-keyed overwrite), so a
+    replayed batch rewrites both destinations instead of duplicating
+    either. Returns both sinks' contents tagged by sink id — the STRONG
+    oracle checks each equals the batch-cleaned table (a lost or doubled
+    batch in EITHER sink breaks the hash)."""
+    name = f"fanout_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
+    base = os.path.join(tempfile.gettempdir(), "mpbda_stream_sink", name)
+    path_a = os.path.join(base, "archive")
+    path_b = os.path.join(base, "serving")
+
+    cleaned = clean_event_stream(read_events_stream(spark, sf_dir)).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for path in (path_a, path_b):
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(path, f"batch_id={batch_id}")
+                )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        cleaned.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    cols = ["event_id", "user_id", "event_type", "value"]
+    a = spark.read.parquet(path_a).select(*cols).withColumn("sink", F.lit("archive"))
+    b = spark.read.parquet(path_b).select(*cols).withColumn("sink", F.lit("serving"))
+    return a.unionByName(b)
+
+
 def run_stream_dedup_availablenow(
     spark: SparkSession, sf_dir: str, keys: tuple[str, ...] = ("user_id", "event_type")
 ) -> DataFrame:
