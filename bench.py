@@ -99,6 +99,25 @@ def main() -> int:
         except Exception as exc:  # pragma: no cover - defensive
             full_errors[qid] = f"{type(exc).__name__}: {exc}"[:200]
         print(f"## full {qid}: {timings_full.get(qid, 'ERR')}", file=sys.stderr)
+        # A query may legitimately cache (agg_cached_dashboard's shared scan);
+        # release it so pinned blocks don't distort the remaining ~100 timed
+        # entries (periodicGC cannot reclaim referenced cache blocks).
+        spark.catalog.clearCache()
+
+    # Full-tier detail goes to a sidecar file, NOT stdout: the driver's tail
+    # capture truncates long lines, and a truncated final line cost round 3
+    # its bench record (BENCH_r03 parsed=null). Stdout's last line stays a
+    # compact headline-only JSON that always parses.
+    full_report = {
+        "metric": "full_wall_sec",
+        "value": round(sum(timings_full.values()), 3),
+        "unit": "sec",
+        "queries": timings_full,
+        "errors": full_errors,
+        "sf": sf_num,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump(full_report, f, indent=1, sort_keys=True)
 
     report = {
         "metric": "suite_wall_sec",
@@ -106,13 +125,12 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_num,
-        "full_wall_sec": round(sum(timings_full.values()), 3),
-        "queries_full": timings_full,
+        "full_wall_sec": full_report["value"],
+        "full_errors": len(full_errors),
+        "full_detail": "BENCH_FULL.json",
     }
-    if full_errors:
-        report["full_errors"] = full_errors
-    print(json.dumps(report))
     spark.stop()
+    print(json.dumps(report))
     return 0
 
 

@@ -22,99 +22,14 @@ from . import ext_multimodal_q  # noqa: F401,E402
 from . import ext_pipeline_q  # noqa: F401,E402
 
 
-# The driver hash-checks exactly the FIRST 50 entries of queries() iteration
-# order per round (verified round 2: set(list(all_queries())[:50]) ==
-# set(CORRECTNESS_r02)). Rounds 1-2 earned hard driver rows for the relational
-# core; this list promotes the ids that passed only the local oracle harness
-# (scripts/check_queries.py) into the driver's window so CORRECTNESS_r03
-# carries hard rows for the ext_/stream_/window_/sql_ layer too. The
-# previously-verified ids stay protected by pytest + the local harness.
-_DRIVER_WINDOW_PRIORITY = [
-    # 46 ids green under the local oracle harness but absent from
-    # CORRECTNESS_r02 (hash-checkable — each has an oracle_sql entry).
-    "setop_except",
-    "ext_dedup_exact",
-    "ext_dedup_fuzzy",
-    "ext_sim_topk",
-    "ext_text_stats",
-    "ext_json_props",
-    "ext_dedup_fingerprint",
-    "ext_dedup_ngram",
-    "ext_dedup_simhash",
-    "ext_dedup_components",
-    "ext_emb_neardup",
-    "ext_lang_quality",
-    "ext_vocab_topk",
-    "ext_doc_len_histogram",
-    "ext_pii_scrub",
-    "ext_doc_winnow",
-    "ext_multimodal_meta",
-    "ext_multimodal_chunks",
-    "ext_multimodal_features",
-    "ext_split_hash",
-    "ext_sample_stratified",
-    "ext_dataset_mix",
-    "ext_token_pack",
-    "ext_data_quality",
-    "ext_zorder_cluster",
-    "ext_decontaminate",
-    "agg_rollup",
-    "agg_cube",
-    "agg_quartiles_exact",
-    "agg_session_window",
-    "agg_sliding_window",
-    "window_latest_per_key",
-    "window_lag_delta",
-    "window_ntile",
-    "window_rolling_avg",
-    "fn_regex_extract",
-    "join_asof",
-    "join_range_band",
-    "join_salted_skew",
-    "join_bucketed",
-    "src_csv_roundtrip",
-    "stream_clean_sink",
-    "stream_stateful_stats",
-    "stream_weather_pipeline",
-    "sql_tpch_q1",
-    "sql_tpch_q5",
-    # Round-3 additions — never driver-checked, need their first hard rows.
-    # (The window holds 50; whatever spills past it stays covered by the
-    # local harness and rotates into the next round's window.)
-    "snk_upsert_write",
-    "agg_cached_dashboard",
-    "sql_tpch_q3",
-    "sql_tpch_q6",
-    "ext_dedup_incremental",
-    "ext_embed_centroids",
-    "window_cume_dist",
-    "fn_url_extract",
-    "agg_grouping_sets",
-    "ext_tfidf_topterms",
-    "ext_repetition_stats",
-    "ext_quality_gate",
-    "stream_static_enrich",
-    "ext_compression_ratio",
-    "join_dpp_partitioned",
-    "src_text_roundtrip",
-    "sql_tpch_q10",
-    "window_range_frame",
-    "ext_dedup_editdist",
-    "ext_semdedup",
-    "fn_map_wordcounts",
-    "stream_fanout_sinks",
-    # Rows-only ids (oracle=None by design) — the driver's weaker rows>0
-    # check applies wherever they sit; they fill the tail of the window.
-    "stream_tumbling_agg",
-    "stream_dedup",
-    "ext_sim_ann",
-    "ext_sim_ivf",
-    "agg_quartiles_approx",
-]
-
-
 def all_queries() -> dict[str, Query]:
-    ordered = {qid: REGISTRY[qid] for qid in _DRIVER_WINDOW_PRIORITY if qid in REGISTRY}
-    for qid, q in REGISTRY.items():
-        ordered.setdefault(qid, q)
-    return ordered
+    """Public query catalog in registration (module/SURVEY §2) order.
+
+    The iteration order here is the stable public API contract. The external
+    driver's per-round correctness-coverage rotation (which 50 ids get hard
+    hash-checked rows this round) is deliberately NOT encoded here — it lives
+    in ``__spark_entry__.py::coverage_rotation()`` with its own documentation
+    and an audit trail in COVERAGE_ROTATION.md, so reordering for coverage
+    can never silently change library behavior.
+    """
+    return dict(REGISTRY)
