@@ -45,12 +45,21 @@ def stream_clean_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clean_to_parquet_availablenow(spark, sf_dir)
 
 
-@register("stream_dedup", None)  # rows-only: streams have no SQL oracle
+@register(
+    "stream_dedup",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    """,
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming deduplication — dropDuplicates over a watermarked
-    stream (the exactly-once upgrade of the reference's at-least-once
-    consumer, SURVEY.md §2.8 delivery semantics: duplicates from replays
-    are eliminated by keyed state instead of reaching the sink)."""
+    """Stateful streaming deduplication with a STRONG oracle: every source
+    file is delivered TWICE (a simulated at-least-once replay of the
+    reference's consumer, consumer.py:21-23), watermarked dropDuplicates on
+    the unique event_id eliminates the second delivery in keyed state, and
+    the sink must hash-equal the batch-cleaned single-delivery table — one
+    surviving duplicate or one lost key breaks the hash."""
     from ..streaming.pipeline import run_stream_dedup_availablenow
 
     return run_stream_dedup_availablenow(spark, sf_dir)

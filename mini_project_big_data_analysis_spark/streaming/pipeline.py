@@ -319,23 +319,48 @@ def run_fanout_sinks_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def run_stream_dedup_availablenow(
-    spark: SparkSession, sf_dir: str, keys: tuple[str, ...] = ("user_id", "event_type")
+    spark: SparkSession, sf_dir: str, keys: tuple[str, ...] = ("event_id",)
 ) -> DataFrame:
-    """Stateful streaming dedup to completion: watermarked
-    ``dropDuplicates`` keeps one state entry per key and emits each key's
-    first arrival only — replayed/duplicate deliveries (the reference's
-    at-least-once failure mode, consumer.py:21-23) never reach the sink.
+    """Stateful streaming dedup to completion, proven against a REAL
+    duplicate delivery: every source file is delivered twice (the
+    reference's at-least-once failure mode — a replay after restart,
+    consumer.py:21-23), and watermarked ``dropDuplicates`` on the unique
+    ``event_id`` keeps one state entry per key so the second delivery never
+    reaches the sink.
+
+    Because ``event_id`` is unique in the single-delivery table and both
+    deliveries carry identical payloads, the sink is deterministic: it must
+    equal the batch-cleaned single-delivery table EXACTLY — a strong DuckDB
+    oracle (one surviving duplicate, or one over-evicted key, breaks the
+    hash), not a rows-only check.
 
     The watermark bounds state: at 100 TB-scale ingest, keys older than the
-    watermark are evicted instead of accumulating forever.
+    watermark are evicted instead of accumulating forever (the replay
+    window a real pipeline must tolerate is bounded by checkpoint cadence,
+    well inside the watermark).
     """
+    import shutil
+
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
-    stream = clean_event_stream(read_events_stream(spark, sf_dir))
+    delivery = os.path.join(tempfile.gettempdir(), "mpbda_dedup_src", name)
+    os.makedirs(delivery, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    # Two byte-identical deliveries of the same upstream data; default file
+    # source options (no maxFilesPerTrigger) plan them into one micro-batch,
+    # so the watermark — updated only between batches — cannot drop either.
+    shutil.copy(src, os.path.join(delivery, "delivery_a.parquet"))
+    shutil.copy(src, os.path.join(delivery, "delivery_b.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW).parquet(delivery)
+    stream = clean_event_stream(
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
     deduped = (
         stream.withWatermark("event_time", "1 hour")
         .dropDuplicates([*keys])
-        .select(*keys, "event_id", "value")
+        .select("event_id", "user_id", "event_type", "value")
     )
     q = (
         deduped.writeStream.format("memory")

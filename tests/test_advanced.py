@@ -26,21 +26,27 @@ def test_sample_chunks_bytes_roundtrip(spark):
     assert 3 not in by_doc  # empty payload → no chunks
 
 
-def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+def test_stream_dedup_drops_duplicate_delivery(spark, sf_dir):
+    # Every file is delivered twice inside the pipeline; the sink must equal
+    # the single-delivery cleaned table exactly (exactly-once proof).
     from mini_project_big_data_analysis_spark.streaming.pipeline import (
         run_stream_dedup_availablenow,
     )
     from mini_project_big_data_analysis_spark.sources.events import load_events
 
     streamed = run_stream_dedup_availablenow(spark, sf_dir)
-    n_stream = streamed.count()
-    n_batch = (
-        load_events(spark, sf_dir).select("user_id", "event_type").distinct().count()
+    batch = (
+        load_events(spark, sf_dir)
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("event_id", "user_id", "event_type", "value")
     )
-    assert n_stream == n_batch
-    # one row per key, never more
-    dup = streamed.groupBy("user_id", "event_type").count().filter(F.col("count") > 1)
-    assert dup.isEmpty()
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(streamed).isEmpty()
 
 
 def test_rollup_includes_grand_total(spark, sf_dir):
