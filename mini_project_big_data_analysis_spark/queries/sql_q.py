@@ -147,3 +147,83 @@ def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q10)
+
+
+# Threshold 240 sits between the p90 (180) and p99 (262) of per-order
+# quantity sums in the driver's data — a few hundred qualifying orders at
+# sf0.01, same selectivity role as the canonical 300.
+_Q18 = """
+SELECT c.c_name,
+       c.c_custkey,
+       o.o_orderkey,
+       o.o_orderdate,
+       o.o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 240
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("sql_tpch_q18", _Q18)
+def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): the large group-by + HAVING
+    semi-join shape. The IN subquery is itself a full lineitem aggregation;
+    Catalyst plans it as an aggregate feeding a LeftSemi hash join against
+    the fact join — lineitem is scanned twice but shuffled on the same
+    l_orderkey key both times, and only qualifying orders reach the outer
+    3-way join's group-by. DECIMAL quantity sums keep the HAVING boundary
+    bit-stable across engines; top-100 by unique o_orderkey tiebreak."""
+    for t in ("customer", "orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q18)
+
+
+# The driver's lineitem has no l_receiptdate/l_commitdate, so the canonical
+# "received after committed" late predicate is stood in by the row-local
+# l_returnflag = 'R' marker — the plan shape (two correlated subqueries on
+# the same fact table → semi + anti self-joins) is identical.
+_Q21 = """
+SELECT s.s_name,
+       count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n.n_name = 'NATION_7'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+"""
+
+
+@register("sql_tpch_q21", _Q21)
+def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept waiting): multi-self-join on lineitem —
+    the sole supplier whose items were returned on a finished order while
+    every other supplier's items were not. The correlated EXISTS compiles to
+    a LeftSemi and the NOT EXISTS to a LeftAnti hash join, both equi-keyed
+    on l_orderkey (plan-pinned in tests/test_plans.py: no cartesian /
+    nested-loop degeneration); nation is a broadcast filter on the supplier
+    side. All three lineitem scans shuffle on the same key."""
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q21)

@@ -221,3 +221,22 @@ def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark, sf_dir)
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_q21_semi_anti_joins_never_degenerate(spark, sf_dir):
+    """TPC-H Q21's correlated EXISTS / NOT EXISTS must compile to equi-keyed
+    LeftSemi / LeftAnti hash-family joins on l_orderkey — never a cartesian
+    product or an un-keyed nested-loop join (which would be O(n²) shuffle at
+    100 TB)."""
+    from mini_project_big_data_analysis_spark.queries.sql_q import sql_tpch_q21
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = sql_tpch_q21(spark, sf_dir)
+        plan = checks.explain_str(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
