@@ -200,3 +200,106 @@ def global_stats(df: DataFrame, cols: list[str]) -> DataFrame:
             F.round(F.stddev_samp(c), 6).alias(f"std_{c}"),
         ]
     return df.agg(*aggs)
+
+
+def triangle_tasks(sized: DataFrame, id_col: str, block_cap: int) -> DataFrame:
+    """Decompose each block into bounded chunk-pair tasks (triangle join).
+
+    ``sized`` must carry a ``block`` column. A block of n rows is hash-split
+    into g = ceil(n / block_cap) disjoint chunks; every unordered chunk pair
+    (ca ≤ cb) — including the diagonal — becomes one task keyed
+    (block, __ca, __cb), and each row is replicated to the g tasks it
+    participates in. Per-task row count is ≤ 2·block_cap and per-task pair
+    count ≤ block_cap², whatever the block-size distribution — the standard
+    bounded-memory decomposition of a quadratic self-comparison (O(n·g)
+    replication total ≈ n²/cap work, evenly spread, no straggler).
+
+    For blocks at or under the cap g = 1: a single (0, 0) task carrying the
+    block unchanged. The block-count aggregate is map-side-partial cheap,
+    and AQE broadcasts it into the row join when small."""
+    payload = [c for c in sized.columns if c not in ("block", id_col)]
+    counts = sized.groupBy("block").agg(F.count(F.lit(1)).alias("__bn"))
+    return (
+        sized.join(counts, "block")
+        .withColumn(
+            "__g",
+            F.greatest(F.lit(1), F.ceil(F.col("__bn") / F.lit(block_cap))).cast("int"),
+        )
+        .withColumn(
+            "__chunk",
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("__g")).cast("int"),
+        )
+        .select(
+            "block",
+            id_col,
+            *payload,
+            "__chunk",
+            F.explode(F.sequence(F.lit(0), F.col("__g") - 1)).alias("__other"),
+        )
+        .select(
+            "block",
+            id_col,
+            *payload,
+            "__chunk",
+            F.least("__chunk", "__other").alias("__ca"),
+            F.greatest("__chunk", "__other").alias("__cb"),
+        )
+    )
+
+
+def capped_self_join_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    payload_cols: list[str],
+    block_cap: int = 4096,
+) -> DataFrame:
+    """Every within-block unordered pair exactly once, with bounded per-key
+    join groups: the relational form of ``triangle_tasks`` for pair
+    operators that stay in codegen (levenshtein, array_intersect, …) rather
+    than a BLAS gram.
+
+    A plain blocked self-join concentrates a skewed block's whole O(n²)
+    output on one join key; here both sides of every join key hold
+    ≤ block_cap rows, so no task degenerates however skewed the blocking
+    key is. Output columns: block, id_a, id_b, a_<payload>, b_<payload>,
+    canonically oriented id_a < id_b."""
+    sized = df.select(
+        F.struct(*[F.col(c) for c in block_cols]).alias("block"),
+        F.col(id_col),
+        *[F.col(c) for c in payload_cols],
+    )
+    tasks = triangle_tasks(sized, id_col, block_cap)
+    a = tasks.filter(F.col("__chunk") == F.col("__ca")).select(
+        "block",
+        "__ca",
+        "__cb",
+        F.col(id_col).alias("__ida"),
+        *[F.col(c).alias(f"__a_{c}") for c in payload_cols],
+    )
+    b = tasks.filter(F.col("__chunk") == F.col("__cb")).select(
+        "block",
+        "__ca",
+        "__cb",
+        F.col(id_col).alias("__idb"),
+        *[F.col(c).alias(f"__b_{c}") for c in payload_cols],
+    )
+    pairs = a.join(b, on=["block", "__ca", "__cb"]).filter(
+        # diagonal tasks pair a chunk with itself: keep the upper triangle.
+        # off-diagonal chunks are disjoint: every cross pair, exactly once.
+        (F.col("__ca") < F.col("__cb")) | (F.col("__ida") < F.col("__idb"))
+    )
+    swapped = F.col("__ida") > F.col("__idb")
+    sel = [
+        F.col("block"),
+        F.when(swapped, F.col("__idb")).otherwise(F.col("__ida")).alias("id_a"),
+        F.when(swapped, F.col("__ida")).otherwise(F.col("__idb")).alias("id_b"),
+    ]
+    for c in payload_cols:
+        sel.append(
+            F.when(swapped, F.col(f"__b_{c}")).otherwise(F.col(f"__a_{c}")).alias(f"a_{c}")
+        )
+        sel.append(
+            F.when(swapped, F.col(f"__a_{c}")).otherwise(F.col(f"__b_{c}")).alias(f"b_{c}")
+        )
+    return pairs.select(*sel)

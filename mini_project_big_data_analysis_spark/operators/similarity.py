@@ -37,10 +37,15 @@ def _spread(vectors: DataFrame) -> DataFrame:
     sc = vectors.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
-        n_files = len(vectors.inputFiles())
-    except Exception:  # non-file plans (local relations): already parallel
+        # Planned partition count, not file count: Spark packs many small
+        # files into few splits (openCostInBytes/maxSplitBytes), so a
+        # file-count proxy under-detects the 1-partition regime — and large
+        # files are range-split, so it over-detects too (ADVICE r3).
+        # getNumPartitions only runs physical planning; no job is launched.
+        n_parts = vectors.rdd.getNumPartitions()
+    except Exception:  # unplannable-to-RDD edge: leave the plan alone
         return vectors
-    if 0 < n_files < target:
+    if 0 < n_parts < target:
         return vectors.repartition(target)
     return vectors
 
@@ -161,6 +166,8 @@ def _multi_table_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     weights = 1 << np.arange(n_planes)
 
     def buckets(vecs):
+        if len(vecs) == 0:  # empty Arrow batch: (0,)-shaped asarray can't matmul
+            return pd.Series([], dtype=object)
         m = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
         signs = (m @ flat.T) > 0  # (n, T*P)
         bits = signs.reshape(len(m), n_tables, n_planes)
@@ -194,6 +201,7 @@ def lsh_bucketed_topk(
     seed: int = 42,
     probe_radius: int = 1,
     n_tables: int = 1,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k over LSH buckets, with the two standard recall
     levers: multi-probe and multi-table.
@@ -238,9 +246,12 @@ def lsh_bucketed_topk(
             F.array(*[F.col("__qbucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("lsh_bucket"),
     )
-    candidates = corpus.join(
-        F.broadcast(probes), on=["lsh_table", "lsh_bucket"]
-    ).filter(F.col(id_col) != F.col(query_id_col))
+    candidates = corpus.join(F.broadcast(probes), on=["lsh_table", "lsh_bucket"])
+    if exclude_self:
+        # Same id space (queries drawn from the corpus): drop the trivial
+        # self-match. Pass exclude_self=False for disjoint id spaces whose
+        # ids may numerically collide (same contract as cosine_topk).
+        candidates = candidates.filter(F.col(id_col) != F.col(query_id_col))
     # Score BEFORE deduping multi-table/multi-probe hits: cosine is
     # deterministic (dup rows carry equal scores), scoring is codegen-cheap,
     # and the dedup shuffle then moves (query, id, score) triples instead of
@@ -254,20 +265,63 @@ def lsh_bucketed_topk(
 
 
 def _centroids_from_corpus(
-    vectors: DataFrame, n_centroids: int, id_col: str, vec_col: str
+    vectors: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    refine: bool = True,
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic IVF centroids: the ``n_centroids`` lowest-id corpus
-    vectors. A k-means refinement would balance the cells better; sampling
-    corpus points is the standard cheap seeding (and is deterministic, so
-    plans and tests reproduce). Driver-side collect of n_centroids×dim
-    floats — kilobytes, broadcast-sized by construction."""
-    rows = (
+    """Deterministic sampled-and-refined centroids.
+
+    Seeds are the ``n_centroids`` corpus vectors with the SMALLEST
+    ``xxhash64(id)`` — a uniform deterministic sample of the corpus. (The
+    previous lowest-n-id seeding was degenerate on real corpora: ids arrive
+    sorted/clustered by crawl order, so all n seeds could land in one
+    semantic neighborhood and funnel the whole corpus into one giant cell —
+    a straggler that never finishes at 100 TB.) ``orderBy(hash).limit(n)``
+    compiles to TakeOrderedAndProject: each partition forwards its own
+    top-n, never a full sort.
+
+    One Lloyd refinement pass then balances the cells: assign every vector
+    to its nearest seed (one Arrow matmul per batch), mean-pool per cell
+    via posexplode × dim into a single hash aggregate (the
+    ``label_centroids`` dataflow — map-side partials, cells×dim rows
+    shuffled, no Python in the agg). Empty cells keep their seed. One extra
+    corpus pass at index-build time buys bounded cell sizes at query time.
+
+    Driver-side collect of n_centroids×dim floats — kilobytes,
+    broadcast-sized by construction; deterministic, so plans and tests
+    reproduce."""
+    seed_rows = (
         vectors.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_centroids)
         .collect()
     )
-    return [(i, list(r[1])) for i, r in enumerate(rows)]
+    seeds = [(i, list(r[1])) for i, r in enumerate(seed_rows)]
+    if not refine or len(seeds) < 2:
+        return seeds
+    nearest1 = _nearest_cells_udf(seeds, 1)
+    mean_rows = (
+        vectors.select(
+            F.element_at(nearest1(F.col(vec_col)), 1).alias("__cell"),
+            F.posexplode(vec_col).alias("__pos", "__v"),
+        )
+        .groupBy("__cell", "__pos")
+        .agg(F.avg(F.col("__v").cast("double")).alias("__m"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in mean_rows:
+        by_cell.setdefault(r["__cell"], {})[r["__pos"]] = r["__m"]
+    refined: list[tuple[int, list[float]]] = []
+    for i, seed_vec in seeds:
+        comps = by_cell.get(i)
+        if comps and len(comps) == len(seed_vec):
+            refined.append((i, [comps[p] for p in range(len(seed_vec))]))
+        else:  # empty cell: keep the seed vector
+            refined.append((i, seed_vec))
+    return refined
 
 
 def _nearest_cells_udf(centroids: list[tuple[int, list[float]]], n_probe: int):
@@ -290,6 +344,8 @@ def _nearest_cells_udf(centroids: list[tuple[int, list[float]]], n_probe: int):
     cmat = cmat / np.where(norms == 0.0, 1.0, norms)[:, None]
 
     def nearest_cells(vecs):
+        if len(vecs) == 0:  # empty Arrow batch: (0,)-shaped asarray can't matmul
+            return pd.Series([], dtype=object)
         m = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
         vn = np.linalg.norm(m, axis=1)
         sims = (m / np.where(vn == 0.0, 1.0, vn)[:, None]) @ cmat.T
@@ -349,6 +405,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_cap: int = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): drop semantically-redundant
     documents by embedding similarity — cluster the corpus, find
@@ -372,7 +429,12 @@ def semantic_dedup(
         )
         block_col = "semdedup_cell"
     pairs = embedding_near_dup_pairs(
-        vectors, threshold, block_col=block_col, id_col=id_col, vec_col=vec_col
+        vectors,
+        threshold,
+        block_col=block_col,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_cap=block_cap,
     )
     comp = connected_components(pairs, "id_a", "id_b")
     dropped = comp.filter(F.col("node") != F.col("comp")).select(
@@ -412,6 +474,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     seed: int = 42,
     strategy: str = "block_matmul",
+    block_cap: int = 4096,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold, compared only within blocks.
 
@@ -421,13 +484,19 @@ def embedding_near_dup_pairs(
 
     Two physical strategies (same result set):
 
-    - ``block_matmul`` (default): shuffle once on the block key, then one
-      BLAS gram-matrix per block via applyInPandas (Arrow). ~10× faster than
-      pairwise expressions; requires each block to fit an executor's memory
-      (rows×dim doubles + rows² upper-triangle scan) — the right choice when
-      blocking keys are well-sized, which is what LSH bucketing guarantees.
+    - ``block_matmul`` (default): shuffle on the block key, then one BLAS
+      gram-matrix per task via applyInPandas (Arrow). ~10× faster than
+      pairwise expressions. Blocks larger than ``block_cap`` rows are
+      decomposed into chunk-pair TRIANGLE TASKS (see ``_triangle_tasks``):
+      every task holds ≤ 2·block_cap rows, so per-task memory
+      (rows×dim doubles + cap² gram) and pair count are bounded no matter
+      how skewed the blocking key is — an unbounded block is a straggler
+      that never finishes at 100 TB. Result set is identical: chunks
+      partition the block, and every chunk pair (including the diagonal)
+      is exactly one task.
     - ``join``: within-block pair join with codegen'd cosine — streaming,
-      no per-block memory requirement; the fallback for pathological blocks.
+      no per-block memory requirement; AQE's skew-join splitting handles
+      oversized blocks on this path.
     """
     if block_col is None:
         if dim is None:
@@ -470,34 +539,68 @@ def embedding_near_dup_pairs(
         ]
     )
 
-    def per_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(id_col)
-        ids = pdf[id_col].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {
-                    "id_a": ids[:0],
-                    "id_b": ids[:0],
-                    "cosine_sim": np.array([], dtype=np.float64),
-                }
-            )
+    def _mat_norms(pdf: "pd.DataFrame") -> tuple["np.ndarray", "np.ndarray"]:
         M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(M, axis=1)
         norms[norms == 0.0] = np.nan  # zero vectors never match (NULL-like)
-        S = (M @ M.T) / np.outer(norms, norms)
-        iu = np.triu_indices(len(ids), k=1)
-        sims = np.round(S[iu], 6)
-        mask = sims >= threshold
+        return M, norms
+
+    def _empty() -> "pd.DataFrame":
         return pd.DataFrame(
             {
-                "id_a": ids[iu[0][mask]],
-                "id_b": ids[iu[1][mask]],
-                "cosine_sim": sims[mask],
+                "id_a": pd.Series([], dtype=object),
+                "id_b": pd.Series([], dtype=object),
+                "cosine_sim": np.array([], dtype=np.float64),
             }
         )
 
-    return (
-        vectors.select(F.col(block_col).alias("block"), id_col, vec_col)
-        .groupBy("block")
-        .applyInPandas(per_block, out_schema)
+    def per_task(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ca = int(pdf["__ca"].iloc[0])
+        cb = int(pdf["__cb"].iloc[0])
+        if ca == cb:
+            # diagonal task: upper triangle within one chunk
+            pdf = pdf.sort_values(id_col)
+            ids = pdf[id_col].to_numpy()
+            if len(ids) < 2:
+                return _empty()
+            M, norms = _mat_norms(pdf)
+            # divide-after-matmul, bit-identical to the pre-cap arithmetic
+            # (and thus to the 6-dp-rounded oracle boundary)
+            S = (M @ M.T) / np.outer(norms, norms)
+            iu = np.triu_indices(len(ids), k=1)
+            sims = np.round(S[iu], 6)
+            mask = sims >= threshold
+            return pd.DataFrame(
+                {
+                    "id_a": ids[iu[0][mask]],
+                    "id_b": ids[iu[1][mask]],
+                    "cosine_sim": sims[mask],
+                }
+            )
+        # off-diagonal task: full bipartite gram between the two chunks;
+        # each unordered cross-chunk pair occurs in exactly this one task
+        a_pdf = pdf[pdf["__chunk"] == ca]
+        b_pdf = pdf[pdf["__chunk"] == cb]
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return _empty()
+        ids_a = a_pdf[id_col].to_numpy()
+        ids_b = b_pdf[id_col].to_numpy()
+        MA, na = _mat_norms(a_pdf)
+        MB, nb = _mat_norms(b_pdf)
+        S = (MA @ MB.T) / np.outer(na, nb)
+        sims = np.round(S, 6)
+        ai, bi = np.nonzero(sims >= threshold)
+        xa, xb = ids_a[ai], ids_b[bi]
+        # canonical (id_a < id_b) orientation, same as the diagonal/join paths
+        lo = np.where(xa < xb, xa, xb)
+        hi = np.where(xa < xb, xb, xa)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine_sim": sims[ai, bi]})
+
+    from .relational import triangle_tasks
+
+    tasks = triangle_tasks(
+        vectors.select(F.col(block_col).alias("block"), id_col, vec_col),
+        id_col,
+        block_cap,
     )
+    return tasks.groupBy("block", "__ca", "__cb").applyInPandas(per_task, out_schema)

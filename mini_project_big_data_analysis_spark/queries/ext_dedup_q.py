@@ -348,29 +348,27 @@ def ext_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-match pairs (fuzzy title/entity matching — the
     record-linkage tier character-level where Jaccard/MinHash are
     token-level): Levenshtein ≤ 6 on 12-char prefixes, compared only
-    within (lang, source) blocks. Blocking turns the quadratic comparison
-    into an equi-join whose per-block pair count is bounded; levenshtein
-    itself is a codegen'd built-in on both engines."""
+    within (lang, source) blocks. The capped triangle self-join
+    (operators/relational.py capped_self_join_pairs) bounds every join
+    key's group at block_cap rows, so one skewed (lang, source) block can
+    no longer concentrate its whole O(n²) comparison on a single task —
+    the round-3 100 TB caveat; levenshtein itself is a codegen'd built-in
+    on both engines."""
+    from ..operators.relational import capped_self_join_pairs
+
     docs = load(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id", "lang", "source", F.substring("text", 1, 12).alias("prefix")
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
+    pairs = capped_self_join_pairs(
+        keyed, ["lang", "source"], "doc_id", ["prefix"], block_cap=4096
+    )
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.lang") == F.col("b.lang"),
-                F.col("a.source") == F.col("b.source"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .withColumn("edit_dist", F.levenshtein(F.col("a.prefix"), F.col("b.prefix")))
+        pairs.withColumn("edit_dist", F.levenshtein("a_prefix", "b_prefix"))
         .filter(F.col("edit_dist") <= 6)
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
+            F.col("id_a"),
+            F.col("id_b"),
             "edit_dist",
         )
     )

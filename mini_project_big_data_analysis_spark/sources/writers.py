@@ -76,34 +76,108 @@ def write_and_read_back(spark: SparkSession, df: DataFrame, subdir: str | None =
     return spark.read.parquet(path)
 
 
-def upsert_parquet(
-    spark: SparkSession,
-    path: str,
+class KeyedTableStore:
+    """The minimal connector surface the keyed-MERGE algorithm needs.
+
+    ``upsert_into`` is written against exactly these five methods, so a real
+    external store (MongoDB — the reference's sink, consumer.py:12-13,78 —
+    or JDBC, or a Delta/Iceberg table) slots in by implementing bucket-
+    pruned read + bucket-scoped overwrite, WITHOUT touching the MERGE
+    logic. The ``__bucket`` column (hash of the merge keys) is the unit of
+    I/O locality: a connector maps it to a partition directory (parquet), a
+    shard-key range query (Mongo), or a predicate-pushdown clause (JDBC).
+    """
+
+    def exists(self) -> bool:
+        """Whether the target table already has any data."""
+        raise NotImplementedError
+
+    def initialize(self, bucketed: DataFrame) -> None:
+        """First write: persist the bucketed frame (carries ``__bucket``)."""
+        raise NotImplementedError
+
+    def read_buckets(self, bucket_ids: list[int]) -> DataFrame:
+        """Existing rows of ONLY the given buckets (pruned read —
+        partition pruning on parquet, an indexed predicate on a connector).
+        Returned frame carries ``__bucket``."""
+        raise NotImplementedError
+
+    def overwrite_buckets(self, merged: DataFrame) -> None:
+        """Replace exactly the buckets present in ``merged`` (dynamic
+        partition overwrite / transactional bulk replace); untouched
+        buckets keep their data."""
+        raise NotImplementedError
+
+    def read_all(self) -> DataFrame:
+        """Full scan of the table, without the ``__bucket`` column."""
+        raise NotImplementedError
+
+
+class ParquetBucketStore(KeyedTableStore):
+    """Bucket-partitioned parquet implementation (the testable default)."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def exists(self) -> bool:
+        jvm = self.spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+
+    def initialize(self, bucketed: DataFrame) -> None:
+        bucketed.write.partitionBy("__bucket").parquet(self.path)
+
+    def read_buckets(self, bucket_ids: list[int]) -> DataFrame:
+        # partition pruning: only the affected bucket directories are listed
+        return self.spark.read.parquet(self.path).filter(
+            F.col("__bucket").isin(bucket_ids)
+        )
+
+    def overwrite_buckets(self, merged: DataFrame) -> None:
+        # Stage the merged buckets before overwriting the directory they
+        # were read from (Spark refuses an in-place read+overwrite; a
+        # transactional table format stages via its log — this models that).
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(self.path)
+        )
+
+    def read_all(self) -> DataFrame:
+        return self.spark.read.parquet(self.path).drop("__bucket")
+
+
+def upsert_into(
+    store: KeyedTableStore,
     updates: DataFrame,
     keys: list[str],
     n_buckets: int = 32,
 ) -> DataFrame:
-    """Keyed MERGE/upsert into a parquet table (the reference's MongoDB
-    ``insert_one``-by-``_id`` semantics, consumer.py:78, as a bulk operator):
-    incoming rows REPLACE existing rows with matching keys, others append.
-    Re-delivering the same batch is a no-op — the sink is idempotent under
-    key collision, i.e. effectively-exactly-once for at-least-once inputs.
+    """Keyed MERGE/upsert through a :class:`KeyedTableStore` (the reference's
+    MongoDB ``insert_one``-by-``_id`` semantics, consumer.py:78, as a bulk
+    operator): incoming rows REPLACE existing rows with matching keys,
+    others append. Re-delivering the same batch is a no-op — the sink is
+    idempotent under key collision, i.e. effectively-exactly-once for
+    at-least-once inputs.
 
-    Scale shape: the table is laid out partitioned by a hash bucket of the
-    key, so a MERGE touches only the bucket directories its update keys land
-    in — never a full-table rewrite:
+    Scale shape: the table is laid out by a hash bucket of the key, so a
+    MERGE touches only the buckets its update keys land in — never a
+    full-table rewrite:
 
     1. updates get ``__bucket = pmod(xxhash64(keys), n_buckets)`` (row-local);
-    2. existing rows are read WITH partition pruning to the affected buckets
-       only (``isin`` over the update's distinct bucket ids — at most
-       ``n_buckets`` driver-side ints);
+    2. existing rows are read pruned to the affected buckets only
+       (``store.read_buckets`` — at most ``n_buckets`` driver-side ints);
     3. survivors = affected existing rows anti-joined against update keys —
        a shuffle of the affected buckets only;
-    4. survivors ∪ updates overwrite ONLY those partition directories via
-       dynamic partition overwrite (untouched buckets keep their files).
+    4. survivors ∪ updates replace ONLY those buckets
+       (``store.overwrite_buckets``; untouched buckets keep their data).
 
     A table format with a transaction log (Delta/Iceberg MERGE) adds ACID
-    on top; the physical plan — prune, anti-join, partition-scoped rewrite —
+    on top; the physical plan — prune, anti-join, bucket-scoped rewrite —
     is exactly this one.
 
     Contract: ``updates`` must be key-unique (one row per key tuple), the
@@ -114,30 +188,31 @@ def upsert_parquet(
     """
     bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
     bucketed = updates.withColumn("__bucket", bucket)
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        bucketed.write.partitionBy("__bucket").parquet(path)
-        return spark.read.parquet(path).drop("__bucket")
+    if not store.exists():
+        store.initialize(bucketed)
+        return store.read_all()
 
     affected = [r[0] for r in bucketed.select("__bucket").distinct().collect()]
-    existing = spark.read.parquet(path).filter(F.col("__bucket").isin(affected))
+    existing = store.read_buckets(affected)
     survivors = existing.join(
         updates.select(*keys).distinct(), on=keys, how="left_anti"
     )
     merged = survivors.select(*updates.columns, "__bucket").unionByName(bucketed)
-    # Stage the merged buckets before overwriting the directory they were
-    # read from (Spark refuses an in-place read+overwrite; a transactional
-    # table format stages via its log — this models that step).
-    merged = merged.localCheckpoint(eager=True)
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__bucket")
-        .parquet(path)
-    )
-    return spark.read.parquet(path).drop("__bucket")
+    store.overwrite_buckets(merged)
+    return store.read_all()
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """``upsert_into`` against the bucket-partitioned parquet store — the
+    default sink; see :func:`upsert_into` for the MERGE semantics and the
+    100 TB layout rationale."""
+    return upsert_into(ParquetBucketStore(spark, path), updates, keys, n_buckets)
 
 
 def compact_files(

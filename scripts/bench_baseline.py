@@ -31,7 +31,7 @@ def main() -> int:
     con = duck_connection(sf_dir)
     rows = []
     for qid, q in sorted(all_queries().items()):
-        if q.oracle is None or (only and qid not in only):
+        if only and qid not in only:
             continue
 
         def duck_run(sql=q.oracle):
@@ -46,16 +46,26 @@ def main() -> int:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             return time.time() - t0
 
-        d = median3(duck_run)
+        # rows-only ids (oracle=None) get a Spark-side baseline row too —
+        # the 2× regression guard must cover every registered id.
+        d = median3(duck_run) if q.oracle is not None else None
         s = median3(spark_run)
+        # release any cache a query legitimately builds (agg_cached_dashboard)
+        # so pinned blocks don't distort the remaining entries
+        spark.catalog.clearCache()
         rows.append((qid, d, s))
-        print(f"# {qid}: duck={d:.3f}s spark={s:.3f}s ratio={s / max(d, 1e-9):.1f}x", file=sys.stderr)
+        dtxt = f"duck={d:.3f}s" if d is not None else "duck=—"
+        print(f"# {qid}: {dtxt} spark={s:.3f}s", file=sys.stderr)
 
     print("| query id | DuckDB s | Spark s | Spark/DuckDB |")
     print("|---|---|---|---|")
     for qid, d, s in rows:
-        print(f"| `{qid}` | {d:.3f} | {s:.3f} | {s / max(d, 1e-9):.1f}× |")
-    print(f"| **total** | **{sum(d for _, d, _ in rows):.2f}** | **{sum(s for _, _, s in rows):.2f}** | |")
+        if d is None:
+            print(f"| `{qid}` | — | {s:.3f} | — |")
+        else:
+            print(f"| `{qid}` | {d:.3f} | {s:.3f} | {s / max(d, 1e-9):.1f}× |")
+    dtot = sum(d for _, d, _ in rows if d is not None)
+    print(f"| **total** | **{dtot:.2f}** | **{sum(s for _, _, s in rows):.2f}** | |")
     spark.stop()
     return 0
 

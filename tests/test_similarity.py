@@ -137,3 +137,120 @@ def test_semantic_dedup_clustered_drops_planted_duplicates(spark):
     assert 0 in kept and 200 not in kept and 201 not in kept
     # nothing else shares cosine >= 0.999 in a random set: all others kept
     assert kept == set(range(40))
+
+
+def test_near_dup_block_cap_matches_uncapped(spark):
+    # ONE giant block (every row label 0): cap=16 splits it into 8 chunks /
+    # 36 triangle tasks; the result set must be identical to the streaming
+    # join strategy (ground truth) — the decomposition changes the physical
+    # plan, never the pairs.
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((120, 8)).astype("float32")
+    rows = [(i, vecs[i].tolist(), 0) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    capped = similarity.embedding_near_dup_pairs(
+        df, threshold=0.5, block_col="label", block_cap=16
+    )
+    reference = similarity.embedding_near_dup_pairs(
+        df, threshold=0.5, block_col="label", strategy="join"
+    )
+    got = sorted((r.id_a, r.id_b, r.cosine_sim) for r in capped.collect())
+    want = sorted((r.id_a, r.id_b, r.cosine_sim) for r in reference.collect())
+    assert got == want and len(got) > 0
+
+
+def test_triangle_tasks_bound_per_task_rows(spark):
+    from mini_project_big_data_analysis_spark.operators.relational import (
+        triangle_tasks,
+    )
+
+    n, cap = 200, 16
+    df = spark.range(n).select(
+        F.lit(0).alias("block"), F.col("id").alias("vec_id")
+    )
+    tasks = triangle_tasks(df, "vec_id", cap)
+    sizes = tasks.groupBy("block", "__ca", "__cb").count().collect()
+    g = -(-n // cap)  # ceil
+    assert len(sizes) == g * (g + 1) // 2  # full triangle incl. diagonal
+    # every task holds at most two chunks' worth of rows (hash-split chunk
+    # sizes fluctuate around n/g ≈ cap; 2× slack covers the fluctuation)
+    assert max(r["count"] for r in sizes) <= 4 * cap
+    # replication factor is exactly g: each row participates in g tasks
+    assert sum(r["count"] for r in sizes) == n * g
+
+
+def test_capped_self_join_matches_plain_blocked_join(spark):
+    from mini_project_big_data_analysis_spark.operators.relational import (
+        capped_self_join_pairs,
+    )
+
+    rows = [
+        (i, f"lang{i % 2}", f"s{i % 3}", f"prefix_{i % 7:02d}") for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, prefix string")
+    capped = capped_self_join_pairs(
+        df, ["lang", "source"], "doc_id", ["prefix"], block_cap=4
+    )
+    a, b = df.alias("a"), df.alias("b")
+    plain = a.join(
+        b,
+        on=[
+            F.col("a.lang") == F.col("b.lang"),
+            F.col("a.source") == F.col("b.source"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        ],
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.prefix").alias("a_prefix"),
+        F.col("b.prefix").alias("b_prefix"),
+    )
+    got = sorted(map(tuple, capped.select("id_a", "id_b", "a_prefix", "b_prefix").collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_centroid_seeding_survives_sorted_clustered_corpus(spark):
+    # Adversarial id layout: ids 0-49 are one tight semantic cluster, ids
+    # 50-99 another (corpora arrive sorted by crawl order). Lowest-n-id
+    # seeding would draw EVERY seed from cluster A and funnel cluster B
+    # into one giant cell; hash-sampled + Lloyd-refined seeding must keep
+    # the largest cell well under the whole corpus.
+    rng = np.random.default_rng(3)
+    base_a = rng.standard_normal(8)
+    base_b = rng.standard_normal(8)
+    base_b -= base_b @ base_a / (base_a @ base_a) * base_a  # orthogonalize
+    rows = []
+    for i in range(100):
+        base = base_a if i < 50 else base_b
+        v = base + rng.standard_normal(8) * 0.05
+        rows.append((i, v.astype("float32").tolist(), 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cents = similarity._centroids_from_corpus(df, 8, "vec_id", "embedding")
+    cmat = np.asarray([c for _, c in cents])
+    cmat = cmat / np.linalg.norm(cmat, axis=1)[:, None]
+    vmat = np.asarray([r[1] for r in rows], dtype="float64")
+    vmat = vmat / np.linalg.norm(vmat, axis=1)[:, None]
+    assign = np.argmax(vmat @ cmat.T, axis=1)
+    _, counts = np.unique(assign, return_counts=True)
+    assert counts.max() <= 60, f"degenerate cell balance: {sorted(counts)}"
+    # both planted clusters must map to different cells
+    assert set(assign[:50]) != set(assign[50:]) or len(set(assign)) > 1
+
+
+def test_lsh_topk_exclude_self_configurable(spark):
+    df, vecs = _vectors(spark, n=20)
+    # disjoint-entity query that numerically collides with corpus id 5 and
+    # carries the same embedding: with exclude_self=False, corpus vector 5
+    # is a legitimate (perfect) neighbor and must not be dropped
+    queries = spark.createDataFrame(
+        [(5, vecs[5].tolist())], "query_id long, embedding array<float>"
+    )
+    kept = similarity.lsh_bucketed_topk(
+        df, queries, dim=8, k=5, n_planes=4, exclude_self=False
+    ).collect()
+    dropped = similarity.lsh_bucketed_topk(
+        df, queries, dim=8, k=5, n_planes=4, exclude_self=True
+    ).collect()
+    assert 5 in {r.vec_id for r in kept}
+    assert 5 not in {r.vec_id for r in dropped}
