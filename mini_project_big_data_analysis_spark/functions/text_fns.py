@@ -174,18 +174,27 @@ def normalized_fingerprint(text: Column | str) -> Column:
     return F.md5(normalized)
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """k-word shingles as an array<string> — the unit for MinHash/Jaccard.
+def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
+    """k-word shingles from an ALREADY-MATERIALIZED token-array column.
 
-    Expressed with sequence+transform over the token array (no explode at
-    this layer, so callers control when the row-multiplying explode happens).
+    Prefer this over :func:`word_shingles` whenever the caller can stage the
+    tokenization in its own ``select`` first: this expression references the
+    token array k+2 times (size, sequence bound, k lookups), and if ``toks``
+    is an inline ``split(...)`` Catalyst re-evaluates the whole split at
+    EVERY reference — each gram then re-splits the entire document, turning
+    the explode quadratic in document length (measured live on
+    ext_decontaminate: 9 s and wildly GC-variant vs sub-second staged; the
+    same multiply-referenced-subexpression trap as the round-2
+    lang-quality fix). A staged token column is a cheap attribute
+    reference, and CollapseProject keeps the staging select separate
+    because the expression is non-cheap and multiply referenced.
 
     Texts with fewer than ``k`` tokens yield an empty array: ``sequence(1, n-k+1)``
     would *descend* when ``n < k`` (ANSI element_at then throws on index 0/past-end),
     so the index range is guarded with ``when(n >= k, ...)`` and the lookups use
     ``try_element_at`` as a second line of defense.
     """
-    toks = whitespace_tokens(text)
+    toks = F.col(toks) if isinstance(toks, str) else toks
     n = F.size(toks)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
         F.array().cast("array<int>")
@@ -196,6 +205,18 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
             " ", *[F.try_element_at(toks, (i + j).cast("int")) for j in range(k)]
         ),
     )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles as an array<string> — the unit for MinHash/Jaccard.
+
+    Expressed with sequence+transform over the token array (no explode at
+    this layer, so callers control when the row-multiplying explode happens).
+    NOTE: inlines the tokenization into every reference — fine for one-shot
+    scalar use, but hot explode paths should stage ``whitespace_tokens`` in
+    a select and call :func:`shingles_from_tokens` (see its docstring).
+    """
+    return shingles_from_tokens(whitespace_tokens(text), k)
 
 
 def winnow_fingerprints(

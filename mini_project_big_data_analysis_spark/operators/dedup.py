@@ -250,9 +250,20 @@ def _verify_jaccard(
     not once per join side."""
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    shingle_sets = df.repartition(n_parts, id_col).select(
-        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_k)).alias("shingles")
-    ).persist()
+    from ..functions.text_fns import shingles_from_tokens, whitespace_tokens
+
+    # staged tokenization: the shingle transform must reference a
+    # materialized token array, not re-split the text per gram
+    # (see shingles_from_tokens docstring)
+    shingle_sets = (
+        df.repartition(n_parts, id_col)
+        .select(F.col(id_col), whitespace_tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles_from_tokens("__toks", shingle_k)).alias("shingles"),
+        )
+        .persist()
+    )
     sa = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = (

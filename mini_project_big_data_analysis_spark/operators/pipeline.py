@@ -187,17 +187,24 @@ def decontaminate(
     """
     from pyspark.sql import functions as F
 
-    from ..functions.text_fns import word_shingles
+    from ..functions.text_fns import shingles_from_tokens, whitespace_tokens
 
+    # Tokenize in a STAGED select so the shingle transform references a
+    # materialized array, not an inline split re-evaluated per gram (the
+    # quadratic-in-doc-length trap; see shingles_from_tokens docstring).
     bench_grams = (
-        benchmark.select(F.explode(word_shingles(text_col, k)).alias("g")).distinct()
+        benchmark.select(whitespace_tokens(text_col).alias("__toks"))
+        .select(F.explode(shingles_from_tokens("__toks", k)).alias("g"))
+        .distinct()
     )
     # The interpreted shingle HOF dominates cost and a single-file input
     # would run it on one core — spread to cluster parallelism first
     # (measured 9s -> 0.6s at sf0.1 on local[32]).
     n_parts = max(train.sparkSession.sparkContext.defaultParallelism, 8)
-    train_grams = train.repartition(n_parts, id_col).select(
-        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("g")
+    train_grams = (
+        train.repartition(n_parts, id_col)
+        .select(F.col(id_col), whitespace_tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), F.explode(shingles_from_tokens("__toks", k)).alias("g"))
     )
     return (
         train_grams.join(F.broadcast(bench_grams), "g")
