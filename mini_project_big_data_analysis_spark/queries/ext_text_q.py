@@ -350,7 +350,7 @@ _REPETITION_ORACLE = r"""
         SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY doc_id, bigram
     )
     SELECT doc_id,
-           sum(c) AS n_bigrams,
+           sum(c)::BIGINT AS n_bigrams,
            round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
     FROM counts GROUP BY doc_id
 """

@@ -52,11 +52,27 @@ def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     )
 
 
+_ARROW_UNSAFE_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "UBIGINT", "DECIMAL")
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
     d_cols = list(rel.columns)
+    # The driver compares via Arrow, where DuckDB HUGEINT/DECIMAL columns
+    # surface as decimal128 and hash-mismatch a bit-identical Spark bigint.
+    # fetchall() hides that (both become Python int), so gate on the declared
+    # DuckDB type: oracles must cast integer sums to BIGINT explicitly.
+    widened = [
+        (c, str(t))
+        for c, t in zip(d_cols, rel.types)
+        if any(str(t).startswith(p) for p in _ARROW_UNSAFE_DUCK_TYPES)
+    ]
+    if widened:
+        return False, (
+            f"oracle emits arrow-unsafe DuckDB types (cast to BIGINT/DOUBLE): {widened}"
+        )
     d_rows = rel.fetchall()
 
     if sorted(s_cols) != sorted(d_cols):
