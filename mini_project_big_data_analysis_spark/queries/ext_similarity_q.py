@@ -102,9 +102,19 @@ def ext_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ext_sim_ivf", None)  # rows-only: data-dependent centroids not in SQL
 def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: corpus inverted-file-partitioned by nearest
-    of 16 sampled centroids; 5 queries probe their 4 closest cells (scan
-    fraction ~4/16). Recall vs the exact brute force is pinned in
-    tests/test_similarity.py (deterministic centroids => stable recall)."""
+    of 16 sampled centroids; 5 queries probe their 8 closest cells.
+
+    Probe width is set for the fixture's ADVERSARIAL regime: the driver's
+    embeddings are near-uniform on the sphere (within-label mean cosine
+    0.02), where any sublinear ANN's recall ≈ its scan fraction — so 8/16
+    cells buys the pinned recall floor honestly. (Before round 4's balanced
+    centroid seeding, 4 probes appeared to achieve 0.8+ recall only because
+    the degenerate seeding funneled most vectors into one giant cell that
+    every query probed — inflated recall from accidentally scanning nearly
+    everything.) On a real clustered corpus the same index needs far fewer
+    probes for the same recall, and cells become partition-prune units.
+    Recall vs exact brute force is pinned in tests (deterministic
+    centroids => stable recall)."""
     from ..operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
@@ -112,7 +122,7 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(
-        emb, queries, k=10, n_centroids=16, n_probe=4,
+        emb, queries, k=10, n_centroids=16, n_probe=8,
         id_col="vec_id", vec_col="embedding", query_id_col="query_id",
     )
 

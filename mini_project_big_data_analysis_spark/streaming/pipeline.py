@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import EVENTS
+from ..sources.events import raw_epoch_to_ts
 
 #: The on-disk shape: ``ts`` is INT64 TIMESTAMP(NANOS), which Spark's reader
 #: only accepts as a long (sources/events.py) — declared long here, converted
@@ -117,7 +118,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", raw_epoch_to_ts("ts"))
 
 
 def clean_event_stream(stream: DataFrame) -> DataFrame:
@@ -354,9 +355,7 @@ def run_stream_dedup_availablenow(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(EVENTS_RAW).parquet(delivery)
-    stream = clean_event_stream(
-        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = clean_event_stream(raw.withColumn("ts", raw_epoch_to_ts("ts")))
     deduped = (
         stream.withWatermark("event_time", "1 hour")
         .dropDuplicates([*keys])
