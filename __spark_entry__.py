@@ -29,83 +29,86 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def coverage_rotation() -> list[str]:
-    """Driver correctness-coverage rotation for THIS round (round 4).
+    """Driver correctness-coverage rotation for THIS round (round 5).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
-    iteration order each round, so with 120+ registered ids only a rotating
+    iteration order each round, so with 140 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly:
 
-    1. ids that have NEVER had a driver-recorded hash check (the 17 round-3
-       additions verified only by the local harness + the judge), first;
-    2. ids new or upgraded-to-strong-oracle this round;
-    3. then the STALEST previously-verified ids (driver-checked in round 2,
-       rotated out of round 3's window) in alphabetical order, cycling so
-       every id is re-verified at most two rounds apart.
+    1. ids new this round (the 15 remaining TPC-H shapes), first;
+    2. ids whose last driver check FAILED and whose fix must be re-verified
+       (`ext_repetition_stats`: r4 hash mismatch from DuckDB's HUGEINT sum
+       widening, oracle now casts to BIGINT);
+    3. then the STALEST previously-verified ids — the 20 last checked in
+       round 2, then the alphabetically-first 14 of the round-3 window —
+       cycling so every id is re-verified at most ~two rounds apart.
 
     Ids displaced from the window this round (and the round each was last
     driver-verified) are recorded in COVERAGE_ROTATION.md; all of them remain
     covered every round by the local harness (scripts/check_queries.py) and
     pytest.
     """
-    never_checked = [
-        "agg_grouping_sets",
-        "ext_dedup_editdist",
-        "ext_dedup_incremental",
-        "ext_embed_centroids",
-        "ext_quality_gate",
-        "ext_repetition_stats",
-        "ext_semdedup",
-        "ext_tfidf_topterms",
-        "fn_map_wordcounts",
-        "fn_url_extract",
-        "join_dpp_partitioned",
-        "sql_tpch_q10",
-        "src_text_roundtrip",
-        "stream_fanout_sinks",
-        "stream_static_enrich",
-        "window_cume_dist",
-        "window_range_frame",
-    ]
     new_this_round = [
-        "sql_tpch_q18",
-        "sql_tpch_q21",
-        "stream_dedup",  # upgraded from rows-only to a strong oracle in r4
+        "sql_tpch_q2",
+        "sql_tpch_q4",
+        "sql_tpch_q7",
+        "sql_tpch_q8",
+        "sql_tpch_q9",
+        "sql_tpch_q11",
+        "sql_tpch_q12",
+        "sql_tpch_q13",
+        "sql_tpch_q14",
+        "sql_tpch_q15",
+        "sql_tpch_q16",
+        "sql_tpch_q17",
+        "sql_tpch_q19",
+        "sql_tpch_q20",
+        "sql_tpch_q22",
+    ]
+    fix_reverify = [
+        "ext_repetition_stats",
     ]
     stale_r2 = [
-        "agg_corr_stats",
-        "agg_count",
-        "agg_describe",
-        "agg_distinct_sorted",
-        "agg_global_stats",
-        "agg_group_avg",
-        "agg_hll_distinct",
-        "agg_min_max",
-        "agg_mode",
-        "agg_pivot",
-        "agg_time_window",
-        "agg_value_counts",
-        "filt_empty_guard",
-        "filt_isin",
-        "filt_not_null",
-        "filt_ts_range",
-        "flagship_region_hourly_stats",
-        "fn_array_first_field",
-        "fn_cast_round",
-        "fn_dim_lookup",
-        "fn_epoch_to_ts",
-        "fn_json_parse_polymorphic",
-        "fn_string_strip",
-        "fn_try_cast",
-        "fn_ts_add_offset",
-        "fn_ts_format",
-        "fn_ts_parse",
-        "join_broadcast_dim",
-        "join_inner_equi",
-        "join_left_anti",
+        "join_left_semi",
+        "join_outer",
+        "limit_head",
+        "proj_nested_extract",
+        "proj_rename",
+        "proj_select_cols",
+        "proj_unpivot",
+        "setop_intersect",
+        "setop_union_all",
+        "snk_append_write",
+        "snk_compact_small_files",
+        "snk_json_roundtrip",
+        "snk_partitioned_write",
+        "sort_order_by",
+        "src_json_corrupt",
+        "src_json_scan",
+        "src_orc_roundtrip",
+        "src_parquet_scan",
+        "src_python_datasource",
+        "src_table_scan",
     ]
-    return never_checked + new_this_round + stale_r2
+    stale_r3 = [
+        "agg_cached_dashboard",
+        "agg_cube",
+        "agg_quartiles_exact",
+        "agg_rollup",
+        "agg_session_window",
+        "agg_sliding_window",
+        "ext_data_quality",
+        "ext_dataset_mix",
+        "ext_decontaminate",
+        "ext_dedup_components",
+        "ext_dedup_exact",
+        "ext_dedup_fingerprint",
+        "ext_dedup_fuzzy",
+        "ext_dedup_ngram",
+    ]
+    return new_this_round + fix_reverify + stale_r2 + stale_r3
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

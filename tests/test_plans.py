@@ -240,3 +240,61 @@ def test_q21_semi_anti_joins_never_degenerate(spark, sf_dir):
         assert "LeftAnti" in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q19_or_of_ands_legs_push_to_both_scans(spark, sf_dir):
+    """TPC-H Q19's disjunction must be factored so each table-local leg
+    reaches its own scan: the quantity envelope on lineitem and the
+    brand/size envelope on part. Without CNF factoring the whole OR rides
+    the join and both tables scan in full — the 100 TB failure mode."""
+    from mini_project_big_data_analysis_spark.queries.sql_q2 import sql_tpch_q19
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = sql_tpch_q19(spark, sf_dir)
+        plan = checks.explain_str(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the OR of brand legs is table-local to part and must appear as a
+        # scan-level pushed filter set (Or(EqualTo(p_brand...)))
+        pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+        assert "p_brand" in pushed
+        assert "l_quantity" in pushed
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q2_q17_correlated_subqueries_decorrelate(spark, sf_dir):
+    """The correlated scalar subqueries in Q2 (min cost per part) and Q17
+    (avg quantity per part) must de-correlate into aggregate-then-join on
+    the correlation key — a per-row re-execution (nested-loop shape) would
+    be O(n·m) at scale."""
+    from mini_project_big_data_analysis_spark.queries.sql_q2 import (
+        sql_tpch_q2,
+        sql_tpch_q17,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for q in (sql_tpch_q2, sql_tpch_q17):
+            plan = checks.explain_str(q(spark, sf_dir))
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q20_nested_ins_compile_to_semi_joins(spark, sf_dir):
+    """Q20's IN-inside-IN chain must compile to LeftSemi hash joins end to
+    end; neither IN may expand into a distinct+inner-join (row explosion)
+    or a nested loop."""
+    from mini_project_big_data_analysis_spark.queries.sql_q2 import sql_tpch_q20
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = checks.explain_str(sql_tpch_q20(spark, sf_dir))
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
