@@ -37,12 +37,13 @@ def coverage_rotation() -> list[str]:
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly:
 
-    1. ids new this round (the 15 remaining TPC-H shapes), first;
+    1. ids new this round (the 15 remaining TPC-H shapes, then the 6
+       corpus-pipeline additions from queries/ext_corpus_q.py), first;
     2. ids whose last driver check FAILED and whose fix must be re-verified
        (`ext_repetition_stats`: r4 hash mismatch from DuckDB's HUGEINT sum
        widening, oracle now casts to BIGINT);
     3. then the STALEST previously-verified ids — the 20 last checked in
-       round 2, then the alphabetically-first 14 of the round-3 window —
+       round 2, then the alphabetically-first 8 of the round-3 window —
        cycling so every id is re-verified at most ~two rounds apart.
 
     Ids displaced from the window this round (and the round each was last
@@ -66,6 +67,12 @@ def coverage_rotation() -> list[str]:
         "sql_tpch_q19",
         "sql_tpch_q20",
         "sql_tpch_q22",
+        "ext_paragraph_dedup",
+        "ext_doc_chunk",
+        "ext_dedup_url",
+        "ext_scd2_dim",
+        "ext_unigram_logprob",
+        "ext_split_leakage",
     ]
     fix_reverify = [
         "ext_repetition_stats",
@@ -101,12 +108,6 @@ def coverage_rotation() -> list[str]:
         "agg_sliding_window",
         "ext_data_quality",
         "ext_dataset_mix",
-        "ext_decontaminate",
-        "ext_dedup_components",
-        "ext_dedup_exact",
-        "ext_dedup_fingerprint",
-        "ext_dedup_fuzzy",
-        "ext_dedup_ngram",
     ]
     return new_this_round + fix_reverify + stale_r2 + stale_r3
 
