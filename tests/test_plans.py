@@ -298,3 +298,69 @@ def test_q20_nested_ins_compile_to_semi_joins(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _n_exchanges(plan: str) -> int:
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and "Exchange" in ln and "Reused" not in ln
+    )
+
+
+def test_doc_chunk_has_no_shuffle(spark, sf_dir):
+    """RAG chunking is pure narrow ops — the whole plan must pipeline into
+    the scan with zero Exchange (at 100 TB an accidental shuffle here would
+    move the entire exploded chunk stream)."""
+    from mini_project_big_data_analysis_spark.queries.ext_corpus_q import ext_doc_chunk
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = checks.explain_str(ext_doc_chunk(spark, sf_dir))
+        assert _n_exchanges(plan) == 0, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_scd2_lag_and_lead_share_one_exchange(spark, sf_dir):
+    """Both window passes partition by user_id → Catalyst must plan ONE
+    exchange (two in-partition sorts), not one per window."""
+    from mini_project_big_data_analysis_spark.queries.ext_corpus_q import ext_scd2_dim
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = checks.explain_str(ext_scd2_dim(spark, sf_dir))
+        assert _n_exchanges(plan) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_unigram_logprob_broadcasts_corpus_total(spark, sf_dir):
+    """The 1-row corpus total must join as a broadcast, never shuffle the
+    exploded token stream against it."""
+    from mini_project_big_data_analysis_spark.queries.ext_corpus_q import (
+        ext_unigram_logprob,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = checks.explain_str(ext_unigram_logprob(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_paragraph_dedup_two_shuffles(spark, sf_dir):
+    """Block dedup = one shuffle keyed on block hash (the window) + one
+    keyed on doc_id (the reassembly agg). Anything more means the plan
+    re-shuffles the exploded block stream."""
+    from mini_project_big_data_analysis_spark.queries.ext_corpus_q import (
+        ext_paragraph_dedup,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = checks.explain_str(ext_paragraph_dedup(spark, sf_dir))
+        assert _n_exchanges(plan) == 2, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
