@@ -37,13 +37,15 @@ def coverage_rotation() -> list[str]:
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly:
 
-    1. ids new this round (the 15 remaining TPC-H shapes, then the 6
-       corpus-pipeline additions from queries/ext_corpus_q.py), first;
+    1. ids new this round (the 15 remaining TPC-H shapes, then the 10
+       round-5 additions: 6 corpus-pipeline ids from queries/ext_corpus_q.py
+       plus ext_cdc_merge, ext_bm25_search, window_gap_islands,
+       stream_stream_join), first;
     2. ids whose last driver check FAILED and whose fix must be re-verified
        (`ext_repetition_stats`: r4 hash mismatch from DuckDB's HUGEINT sum
        widening, oracle now casts to BIGINT);
     3. then the STALEST previously-verified ids — the 20 last checked in
-       round 2, then the alphabetically-first 8 of the round-3 window —
+       round 2, then the alphabetically-first 4 of the round-3 window —
        cycling so every id is re-verified at most ~two rounds apart.
 
     Ids displaced from the window this round (and the round each was last
@@ -73,6 +75,10 @@ def coverage_rotation() -> list[str]:
         "ext_scd2_dim",
         "ext_unigram_logprob",
         "ext_split_leakage",
+        "ext_cdc_merge",
+        "ext_bm25_search",
+        "window_gap_islands",
+        "stream_stream_join",
     ]
     fix_reverify = [
         "ext_repetition_stats",
@@ -104,10 +110,6 @@ def coverage_rotation() -> list[str]:
         "agg_cube",
         "agg_quartiles_exact",
         "agg_rollup",
-        "agg_session_window",
-        "agg_sliding_window",
-        "ext_data_quality",
-        "ext_dataset_mix",
     ]
     return new_this_round + fix_reverify + stale_r2 + stale_r3
 

@@ -398,3 +398,142 @@ def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fingerprint").alias("n_fingerprints"),
         F.sum((F.col("fp_splits") > 1).cast("long")).alias("n_leaked_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_cdc_merge — changelog compaction (CDC apply, latest-wins + deletes)
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH ranked AS (
+    SELECT user_id, event_type, value, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*)     OVER (PARTITION BY user_id)            AS n_changes
+    FROM events
+)
+SELECT user_id,
+       event_type                     AS last_type,
+       round(value, 6)                AS last_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       n_changes::BIGINT              AS n_changes
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register("ext_cdc_merge", _CDC_ORACLE)
+def ext_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction: collapse an append-only change stream to
+    final state per key — latest row wins (ts, then event_id as the
+    deterministic LSN tie-break), keys whose last operation is a delete
+    (modeled by event_type='error') drop out entirely. The companion to
+    ext_scd2_dim (which keeps history) and snk_upsert_write (which merges
+    into a table): this is the read-side compaction a lakehouse MOR table
+    does on every query.
+
+    One window shuffle keyed by user_id carrying both the rank and the
+    change count — at 100 TB this is the standard log-compaction shuffle,
+    partitioned by key with no skew beyond key cardinality."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_bm25_search — keyword retrieval over the corpus
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "data", "query")
+_K1, _BB = 1.2, 0.75
+
+_BM25_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+    FROM documents
+), dl AS (
+    SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id
+), stats AS (
+    SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl
+), tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf
+    FROM toks WHERE term IN ('spark', 'data', 'query')
+    GROUP BY doc_id, term
+), df AS (
+    SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+)
+SELECT doc_id,
+       round(sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({_K1} + 1.0)
+           / (tf.tf + {_K1} * (1.0 - {_BB} + {_BB} * dl.dl / stats.avgdl))
+       ), 6) AS bm25,
+       count(*)::BIGINT AS n_terms_hit
+FROM tf
+JOIN df USING (term)
+JOIN dl USING (doc_id)
+CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("ext_bm25_search", _BM25_ORACLE)
+def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75, the Robertson/Sparck Jones
+    formula with the +1 idf floor): score every document for a 3-term query
+    and return the top-20. The retrieval companion to ext_tfidf_topterms —
+    what a corpus-scale search/RAG-recall stage runs before reranking.
+
+    Scale shape: term stats (df) and corpus stats (N, avgdl) are tiny —
+    both broadcast; the per-doc tf table joins doc-length on doc_id (one
+    keyed shuffle of ONLY the docs containing query terms — the term
+    filter prunes before any join); TakeOrderedAndProject for the top-20,
+    never a full sort."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * F.col("tf") * (_K1 + 1.0)
+            / (F.col("tf") + _K1 * (1.0 - _BB + _BB * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("w"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -195,3 +195,30 @@ def stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_fanout_sinks_availablenow
 
     return run_fanout_sinks_availablenow(spark, sf_dir)
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           floor(epoch(p.ts))::BIGINT - floor(epoch(c.ts))::BIGINT AS gap_s
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.value IS NOT NULL AND c.ts IS NOT NULL
+      AND p.value IS NOT NULL AND p.ts IS NOT NULL
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (click→purchase attribution
+    within 1 hour, per user) — the §2.8 shape the catalog lacked: both
+    sides are unbounded, state expires via watermark + time-interval
+    condition. STRONG oracle: with availableNow's single deterministic
+    batch the streaming sink must equal the batch band-join exactly."""
+    from ..streaming.pipeline import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir)

@@ -232,3 +232,59 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.avg("value").over(w), 6).alias("avg_30min"),
     )
+
+
+_GAP_ISLANDS_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 86400
+                THEN 1 ELSE 0 END AS new_island
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts, event_id,
+           sum(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island_id
+    FROM flagged
+)
+SELECT user_id,
+       island_id::BIGINT AS island_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS island_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS island_end,
+       count(*)::BIGINT  AS n_events
+FROM numbered
+GROUP BY user_id, island_id
+"""
+
+
+@register("window_gap_islands", _GAP_ISLANDS_ORACLE)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: consecutive per-user events no more
+    than 24 hours apart form one island; a larger gap starts the next.
+    The cumulative-sum-of-gap-flags formulation — the relational classic
+    behind sessionization, uptime/downtime intervals and contiguous-range
+    compaction. agg_session_window gets the same grouping from
+    session_window(); this id pins the portable window-function route and
+    exposes the island ids/bounds (which session_window does not).
+
+    Both windows and the final agg share the user_id partitioning, so
+    Catalyst plans ONE exchange for the whole query (asserted in
+    tests/test_plans.py)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(F.lag("ts").over(w).isNull() | (gap_s > 86400), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "island_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("island_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("island_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select("user_id", F.col("island_id").cast("long").alias("island_id"),
+             "island_start", "island_end", "n_events")

@@ -456,3 +456,60 @@ def run_stateful_running_stats(
             F.round("max_value", 6).alias("max_value"),
         )
     )
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: click events joined to the
+    purchase events that follow them within one hour for the same user —
+    the attribution-window join every clickstream pipeline runs. Both
+    sides carry a 2-hour watermark, so at steady state each side buffers
+    at most ~3 hours of keyed rows (watermark + join range) in the state
+    store; the time-interval condition is what lets Spark expire state at
+    all. availableNow processes the fixture in one deterministic batch,
+    so the sink equals the batch band-join byte-for-byte (the oracle).
+    """
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
+    ev = clean_event_stream(read_events_stream(spark, sf_dir))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (F.col("purchase_time") <= F.col("click_time") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("purchase_time") - F.unix_timestamp("click_time")
+        ).alias("gap_s"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

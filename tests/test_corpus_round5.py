@@ -120,3 +120,89 @@ def test_split_leakage_partition(spark, sf_dir):
     for r in rows.values():
         assert r["n_fingerprints"] <= r["n_docs"]
         assert 0 <= r["n_leaked_docs"] <= r["n_docs"]
+
+
+def test_cdc_merge_one_row_per_live_key(spark, sf_dir):
+    from mini_project_big_data_analysis_spark.queries.ext_corpus_q import ext_cdc_merge
+
+    out = ext_cdc_merge(spark, sf_dir).collect()
+    assert len({r["user_id"] for r in out}) == len(out)  # one final state per key
+    ev = load(spark, sf_dir, "events")
+    n_keys = ev.select("user_id").distinct().count()
+    # dropped keys are exactly those whose latest op is the delete marker
+    assert len(out) <= n_keys
+    assert all(r["last_type"] != "error" for r in out)
+    assert all(r["n_changes"] >= 1 for r in out)
+
+
+def test_bm25_scores_ranked_and_positive(spark, sf_dir):
+    from mini_project_big_data_analysis_spark.queries.ext_corpus_q import (
+        ext_bm25_search,
+    )
+
+    rows = ext_bm25_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    assert all(1 <= r["n_terms_hit"] <= 3 for r in rows)
+
+
+def test_gap_islands_partition_events_and_respect_gap(spark, sf_dir):
+    from mini_project_big_data_analysis_spark.queries.windows_q import (
+        window_gap_islands,
+    )
+
+    rows = window_gap_islands(spark, sf_dir).collect()
+    ev_n = load(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == ev_n  # islands partition the log
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    from datetime import datetime
+
+    fmt = "%Y-%m-%d %H:%M:%S"
+    for islands in by_user.values():
+        islands.sort(key=lambda r: r["island_id"])
+        assert [r["island_id"] for r in islands] == list(range(1, len(islands) + 1))
+        for a, b in zip(islands, islands[1:]):
+            gap = datetime.strptime(b["island_start"], fmt) - datetime.strptime(
+                a["island_end"], fmt
+            )
+            assert gap.total_seconds() > 86400  # islands split only on real gaps
+
+
+def test_stream_stream_join_matches_batch_band_join(spark, sf_dir):
+    from mini_project_big_data_analysis_spark.queries.streaming_q import (
+        stream_stream_join,
+    )
+
+    got = {tuple(r) for r in stream_stream_join(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        tuple(r)
+        for r in c.join(
+            p,
+            (c.user_id == p.pu)
+            & (p.pts >= c.cts)
+            & (p.pts <= c.cts + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_timestamp("pts") - F.unix_timestamp("cts")).alias("gap_s"),
+        )
+        .collect()
+    }
+    assert got == want  # exactly-once: no dropped or duplicated join rows

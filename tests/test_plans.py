@@ -364,3 +364,18 @@ def test_paragraph_dedup_two_shuffles(spark, sf_dir):
         assert _n_exchanges(plan) == 2, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_gap_islands_single_exchange(spark, sf_dir):
+    """lag, cumulative sum and the island agg all key on user_id → one
+    exchange for the whole sessionization query."""
+    from mini_project_big_data_analysis_spark.queries.windows_q import (
+        window_gap_islands,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = checks.explain_str(window_gap_islands(spark, sf_dir))
+        assert _n_exchanges(plan) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
