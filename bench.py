@@ -87,15 +87,20 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
 
-    # Second tier: the ENTIRE catalog, one timed run each — cross-round
+    # Second tier: the ENTIRE catalog, best-of-2 per query — cross-round
     # regression coverage for the writes/streaming tail the headline set
-    # skips (BASELINE.md measures all oracle-checked ids). Failures are
-    # recorded, not fatal, so one bad query can't void the artifact.
+    # skips. Best-of-2 (not single-run) so the recorded number is the WARM
+    # time comparable to BASELINE.md's warm-median rows: measured on this
+    # runtime, a single mid-suite run can inflate 10x+ over the same
+    # query's isolated warm time (pure-JVM ids included — ext_doc_winnow
+    # 21 s in-suite vs 3.9 s warm), and a guard that compares cold-in-suite
+    # to warm-median fails spuriously. Failures are recorded, not fatal,
+    # so one bad query can't void the artifact.
     timings_full: dict[str, float] = {}
     full_errors: dict[str, str] = {}
     for qid in registry:
         try:
-            timings_full[qid] = round(run_once(qid), 3)
+            timings_full[qid] = round(min(run_once(qid) for _ in range(2)), 3)
         except Exception as exc:  # pragma: no cover - defensive
             full_errors[qid] = f"{type(exc).__name__}: {exc}"[:200]
         print(f"## full {qid}: {timings_full.get(qid, 'ERR')}", file=sys.stderr)
