@@ -222,3 +222,27 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_stream_stream_join
 
     return run_stream_stream_join(spark, sf_dir)
+
+
+@register(
+    "stream_multibatch_agg",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def stream_multibatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly aggregate across FOUR checkpointed micro-batches (one
+    time-ordered file each) + a watermark-flushing sentinel batch — pins
+    cross-batch window-state merging and exactly-once append emission,
+    the multi-trigger semantics every other streaming id (single
+    availableNow batch) leaves untested. STRONG oracle: sink ≡ batch
+    hourly aggregate of the whole log."""
+    from ..streaming.pipeline import run_multibatch_agg
+
+    return run_multibatch_agg(spark, sf_dir)

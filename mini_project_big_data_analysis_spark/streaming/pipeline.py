@@ -513,3 +513,101 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+def run_multibatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed aggregation across MANY micro-batches with checkpointed
+    state — the multi-trigger coverage the availableNow ids (one batch)
+    can't give. The event log is split into four time-ordered files;
+    ``maxFilesPerTrigger=1`` forces one micro-batch per file, so hour
+    windows straddling a file boundary must MERGE state across batches,
+    and append mode must emit each window exactly once after the watermark
+    passes it. A far-future sentinel file advances the watermark past
+    every real window so the final batch flushes them; the sentinel's own
+    window stays open and is never emitted.
+
+    STRONG oracle: the sink must equal the batch hourly aggregate of the
+    whole log — a row lost at a batch boundary, a window emitted twice,
+    or state dropped between triggers all break the hash. (Late-row
+    DROPPING is deliberately not asserted: Spark guarantees no on-time
+    row is dropped, but dropping too-late rows is best-effort — measured
+    on this runtime, below-watermark rows still aggregate. The files are
+    time-ordered so nothing here depends on that behavior.)
+    """
+    import glob
+    import shutil
+    import time as _time
+
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    base = os.path.join(tempfile.gettempdir(), "mpbda_stream_in", name)
+    indir = os.path.join(base, "in")
+    os.makedirs(indir)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    from ..sources.readers import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(cols)
+    )
+    # time-ordered quarters: every batch's rows are newer than the last's,
+    # so windows close monotonically and no row is ever late
+    bounds = ev.select(
+        F.percentile_approx("ts", [0.25, 0.5, 0.75], 10000).alias("q")
+    ).first()["q"]
+    pieces = [
+        ev.filter(F.col("ts") < bounds[0]),
+        ev.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        ev.filter((F.col("ts") >= bounds[1]) & (F.col("ts") < bounds[2])),
+        ev.filter(F.col("ts") >= bounds[2]),
+    ]
+    sentinel = (
+        spark.createDataFrame([(-1, None, -1, "sentinel", 0.0, None)], schema=ev.schema)
+        .withColumn("ts", F.lit("2030-01-01 00:00:00").cast("timestamp"))
+        .select(cols)
+    )
+    now = _time.time()
+    for i, piece in enumerate(pieces + [sentinel]):
+        tmp = os.path.join(base, "tmp")
+        piece.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(indir, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 500 + i * 100,) * 2)  # mtime = arrival order
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).filter(F.col("event_type") != "sentinel")
