@@ -322,3 +322,53 @@ def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs.select(F.col("text").alias("value")).write.text(path)
     return spark.read.text(path)
+
+
+_TIME_TRAVEL_ORACLE = """
+    SELECT n_nationkey,
+           n_name AS n_name_v0,
+           CASE WHEN n_nationkey < 5 THEN n_name || '_v2' ELSE n_name END
+               AS n_name_v1,
+           n_nationkey < 5 AS changed
+    FROM nation
+"""
+
+
+@register("snk_time_travel", _TIME_TRAVEL_ORACLE)
+def snk_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned sink with time travel (sources/writers.py
+    write_snapshot/read_snapshot): commit the dimension as v0, commit an
+    updated v1 (first five names rewritten), then read BOTH versions back
+    through the manifest and join them. Proves the two lakehouse
+    guarantees in one hash: v0 is immutable under later writes (v0 side
+    must equal the original table) and version resolution goes through
+    the atomically-swapped manifest, not directory listing. The v0⋈v1
+    join broadcasts (dimension-sized both sides)."""
+    from ..sources.writers import read_snapshot, write_snapshot
+
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    table_dir = os.path.join(
+        tempfile.gettempdir(), "mpbda_spark_sink", f"tt_{uuid.uuid4().hex}"
+    )
+    write_snapshot(nation, table_dir)
+    v1 = nation.withColumn(
+        "n_name",
+        F.when(
+            F.col("n_nationkey") < 5, F.concat("n_name", F.lit("_v2"))
+        ).otherwise(F.col("n_name")),
+    )
+    write_snapshot(v1, table_dir)
+    old = read_snapshot(spark, table_dir, 0).select(
+        "n_nationkey", F.col("n_name").alias("n_name_v0")
+    )
+    new = read_snapshot(spark, table_dir, 1).select(
+        "n_nationkey", F.col("n_name").alias("n_name_v1")
+    )
+    return old.join(F.broadcast(new), "n_nationkey").select(
+        "n_nationkey",
+        "n_name_v0",
+        "n_name_v1",
+        (F.col("n_name_v0") != F.col("n_name_v1")).alias("changed"),
+    )

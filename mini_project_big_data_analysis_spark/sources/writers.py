@@ -246,3 +246,52 @@ def compact_files(
     )
     spark.read.parquet(path).coalesce(n_files).write.parquet(compacted)
     return spark.read.parquet(compacted)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-versioned table (time travel)
+# ---------------------------------------------------------------------------
+
+
+def write_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Append a new immutable snapshot version of ``df`` to ``table_dir``
+    and return its version number.
+
+    The layout is the Delta/Iceberg shape reduced to its essentials: data
+    files live under ``v{N}/`` (never rewritten), and a JSON manifest —
+    written LAST, atomically via rename — names the data directory of each
+    committed version. Readers resolve versions only through the manifest,
+    so a crashed half-written snapshot (data files but no manifest entry)
+    is invisible: the commit point IS the manifest swap. At 100 TB a real
+    manifest lists files + column stats for pruning; the read path
+    (manifest → file list → scan) is the same.
+    """
+    import json
+
+    os.makedirs(table_dir, exist_ok=True)
+    manifest_path = os.path.join(table_dir, "manifest.json")
+    manifest = {"versions": {}}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    version = max((int(v) for v in manifest["versions"]), default=-1) + 1
+    data_dir = os.path.join(table_dir, f"v{version}")
+    df.write.mode("errorifexists").parquet(data_dir)
+    manifest["versions"][str(version)] = f"v{version}"
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, manifest_path)  # atomic commit point
+    return version
+
+
+def read_snapshot(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
+    """Time-travel read: resolve ``version`` through the manifest (never by
+    listing directories — uncommitted data must stay invisible) and scan
+    its immutable data files."""
+    import json
+
+    with open(os.path.join(table_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    rel = manifest["versions"][str(version)]
+    return spark.read.parquet(os.path.join(table_dir, rel))
