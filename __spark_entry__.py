@@ -37,15 +37,16 @@ def coverage_rotation() -> list[str]:
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly:
 
-    1. ids new this round (the 15 remaining TPC-H shapes, then the 12
+    1. ids new this round (the 15 remaining TPC-H shapes, then the 13
        round-5 additions: 6 corpus-pipeline ids from queries/ext_corpus_q.py
        plus ext_cdc_merge, ext_bm25_search, window_gap_islands,
-       stream_stream_join, stream_multibatch_agg, snk_time_travel), first;
+       stream_stream_join, stream_multibatch_agg, snk_time_travel,
+       agg_udaf_geomean), first;
     2. ids whose last driver check FAILED and whose fix must be re-verified
        (`ext_repetition_stats`: r4 hash mismatch from DuckDB's HUGEINT sum
        widening, oracle now casts to BIGINT);
     3. then the STALEST previously-verified ids — the 20 last checked in
-       round 2, then the alphabetically-first 2 of the round-3 window —
+       round 2, then the first 1 of the round-3 window —
        cycling so every id is re-verified at most ~two rounds apart.
 
     Ids displaced from the window this round (and the round each was last
@@ -81,6 +82,7 @@ def coverage_rotation() -> list[str]:
         "stream_stream_join",
         "stream_multibatch_agg",
         "snk_time_travel",
+        "agg_udaf_geomean",
     ]
     fix_reverify = [
         "ext_repetition_stats",
@@ -109,7 +111,6 @@ def coverage_rotation() -> list[str]:
     ]
     stale_r3 = [
         "agg_cached_dashboard",
-        "agg_cube",
     ]
     return new_this_round + fix_reverify + stale_r2 + stale_r3
 

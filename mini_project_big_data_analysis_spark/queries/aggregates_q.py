@@ -8,6 +8,9 @@ rounding boundary at the column's magnitude.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -317,4 +320,46 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("mode_user"),
             F.col("n").alias("mode_count"),
         )
+    )
+
+
+_GEOMEAN_ORACLE = """
+    SELECT event_type,
+           round(exp(avg(ln(value))), 6) AS geomean,
+           count(*) AS n
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+"""
+
+
+@register("agg_udaf_geomean", _GEOMEAN_ORACLE)
+def agg_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as an Arrow-vectorized grouped-agg pandas_udf —
+    the UDAF surface (SURVEY §2.10): per-group geometric mean computed in
+    numpy (mean-of-logs, overflow-safe). The log-sum is algebraic, so
+    Spark still plans map-side partial aggregation of the Arrow batches;
+    at 100 TB this shuffles one double per (partition, group), same as a
+    built-in avg. The oracle mirrors it as exp(avg(ln x)) — agreement also
+    pins that the UDF's numpy accumulation matches SQL double semantics.
+    A built-in expression would beat this UDF (engine policy, §2.10); the
+    id exists to keep the custom-UDAF path tested for aggregations that
+    have no built-in form."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Spark refuses to mix a grouped-agg pandas UDF with built-in aggregate
+    # functions in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the row count
+    # rides the same Arrow path.
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        F.round(geomean("value"), 6).alias("geomean"),
+        n_rows("value").alias("n"),
     )
