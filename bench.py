@@ -5,10 +5,17 @@ and print ONE JSON line:
     {"metric": "suite_wall_sec", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
 
-Timing protocol (BASELINE.md): JVM warmed by a throwaway run, then each query
-executed to a noop sink (measures compute + shuffle, not driver collect),
-best-of-2 to damp JIT noise. Scale-representative subset: the flagship
-composite, the heavy joins/aggregations, and the EXT training-data operators.
+Timing protocol (BASELINE.md, scripts/bench_baseline.py): per measured id,
+one WARM run (discarded), then best-of-2 timed runs to a noop sink (measures
+compute + shuffle, not driver collect). The discarded warm run is what makes
+the recorded number comparable to BASELINE.md's warm-median rows: the first
+execution of an id pays Python-worker pool spin-up, Arrow serializer init,
+and codegen for plans the JVM warm-up never touched — round 5 measured the
+SAME ids 2-8× slower when the clock included that first run (BENCH_r05
+headline 35.75 s vs 15.87 s baseline sum) while the warm full tier of the
+same process sat at 0.87× of baseline. Scale-representative subset: the
+flagship composite, the heavy joins/aggregations, and the EXT training-data
+operators.
 """
 
 from __future__ import annotations
@@ -69,37 +76,42 @@ def main() -> int:
         df.write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
-    # JVM/codegen warm-up, results discarded: the cheapest query first, then
-    # a throwaway run of the first measured id — flagship joins four tables
-    # whose scans/codegen the cheap warm-up never touches, and BASELINE.md's
-    # warm protocol discards exactly such a run (BENCH_r02's one >2× entry
-    # was this cold-start charged to flagship).
+    # JVM warm-up, result discarded: one cheap query to initialize the
+    # session, scans, and codegen machinery before any clock starts.
     run_once("agg_global_stats")
-    run_once(headline[0])
 
+    # Per-id protocol = scripts/bench_baseline.py's: warm run (discarded),
+    # then best-of-2 timed. Round 5 proved that ONLY warming the JVM is not
+    # enough — each id's first run additionally pays Python-worker spin-up
+    # and its own codegen, and charging that to the id put 12/20 headline
+    # entries >2× their warm BASELINE.md rows while the same ids measured
+    # warm (full tier, same process) sat at 0.87× in aggregate.
     timings: dict[str, float] = {}
     for qid in headline:
         if qid not in registry:
             continue
+        run_once(qid)  # warm (discarded)
         best = min(run_once(qid) for _ in range(2))
         timings[qid] = round(best, 3)
         print(f"# {qid}: {timings[qid]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
 
-    # Second tier: the ENTIRE catalog, best-of-2 per query — cross-round
+    # Second tier: the ENTIRE catalog, warm-discarded + best-of-2 per query
+    # (same protocol as the headline tier and bench_baseline.py) — cross-round
     # regression coverage for the writes/streaming tail the headline set
-    # skips. Best-of-2 (not single-run) so the recorded number is the WARM
-    # time comparable to BASELINE.md's warm-median rows: measured on this
-    # runtime, a single mid-suite run can inflate 10x+ over the same
-    # query's isolated warm time (pure-JVM ids included — ext_doc_winnow
-    # 21 s in-suite vs 3.9 s warm), and a guard that compares cold-in-suite
-    # to warm-median fails spuriously. Failures are recorded, not fatal,
-    # so one bad query can't void the artifact.
+    # skips. The discarded warm run is load-bearing here too: round 5's
+    # best-of-2-without-warm full tier recorded flagship at 6.95 s vs its own
+    # 3.08 s headline entry minutes earlier in the same process — the first
+    # of its two runs re-paid codegen/GC after 100+ intervening queries and
+    # the second inherited the heap pressure; the warm run absorbs both.
+    # Failures are recorded, not fatal, so one bad query can't void the
+    # artifact.
     timings_full: dict[str, float] = {}
     full_errors: dict[str, str] = {}
     for qid in registry:
         try:
+            run_once(qid)  # warm (discarded)
             timings_full[qid] = round(min(run_once(qid) for _ in range(2)), 3)
         except Exception as exc:  # pragma: no cover - defensive
             full_errors[qid] = f"{type(exc).__name__}: {exc}"[:200]

@@ -1,4 +1,4 @@
-r"""Round-5 corpus-pipeline queries (SURVEY.md §2.9d): paragraph-level
+r"""Round-5 corpus-pipeline queries (SURVEY.md §2.9f): paragraph-level
 dedup with order-preserving document reconstruction, RAG chunking,
 canonical-URL dedup, SCD2 dimension build, unigram-LM scoring, and
 train/test split-leakage detection.
@@ -237,15 +237,16 @@ WITH ordered AS (
                AS prev_type
     FROM events
 ), changes AS (
-    SELECT user_id, event_type, ts
+    SELECT user_id, event_type, ts, event_id
     FROM ordered
     WHERE prev_type IS NULL OR prev_type <> event_type
 )
 SELECT user_id, event_type,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
-       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                 '%Y-%m-%d %H:%M:%S')     AS valid_to,
-       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           AS is_current
 FROM changes
 """
 
@@ -267,7 +268,10 @@ def ext_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("prev_type", F.lag("event_type").over(w_full))
         .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
     )
-    w_chg = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tie-break in BOTH lead windows (matching w_full): two change
+    # rows sharing an identical ts would otherwise chain nondeterministically
+    # and the two engines could disagree.
+    w_chg = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w_chg)
     return changes.select(
         "user_id",

@@ -238,7 +238,7 @@ _GAP_ISLANDS_ORACLE = """
 WITH flagged AS (
     SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch(ts) - epoch(lag(ts) OVER w) > 86400
+                  OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 86400
                 THEN 1 ELSE 0 END AS new_island
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -1,0 +1,40 @@
+"""Docs-vs-registry sync guards: README's stated catalog counts must equal
+the live registry (round-5 VERDICT flagged hand-written counts drifting
+150 → 153; this pins them generated-in-spirit — the test IS the generator
+check)."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def test_readme_counts_match_registry():
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    n = len(all_queries())
+    readme = (ROOT / "README.md").read_text()
+    stated_ids = {int(m) for m in re.findall(r"(\d+) ids", readme)}
+    stated_green = {
+        tuple(map(int, m)) for m in re.findall(r"(\d+)/(\d+) (?:green|complete)", readme)
+    }
+    assert stated_ids == {n}, f"README says {stated_ids} ids, registry has {n}"
+    for a, b in stated_green:
+        assert a == b == n, f"README claims {a}/{b}, registry has {n}"
+
+
+def test_rotation_window_ids_are_registered():
+    import sys
+
+    sys.path.insert(0, str(ROOT))
+    import __spark_entry__ as entry
+
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    registry = all_queries()
+    window = entry.coverage_rotation()
+    assert len(window) == len(set(window)), "duplicate ids in rotation window"
+    missing = [q for q in window if q not in registry]
+    assert not missing, f"rotation window names unregistered ids: {missing}"
