@@ -29,25 +29,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def coverage_rotation() -> list[str]:
-    """Driver correctness-coverage rotation for THIS round (round 5).
+    """Driver correctness-coverage rotation for THIS round (round 6).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
-    iteration order each round, so with 140 registered ids only a rotating
+    iteration order each round, so with 157 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly:
 
-    1. ids new this round (the 15 remaining TPC-H shapes, then the 13
-       round-5 additions: 6 corpus-pipeline ids from queries/ext_corpus_q.py
-       plus ext_cdc_merge, ext_bm25_search, window_gap_islands,
-       stream_stream_join, stream_multibatch_agg, snk_time_travel,
-       agg_udaf_geomean), first;
-    2. ids whose last driver check FAILED and whose fix must be re-verified
-       (`ext_repetition_stats`: r4 hash mismatch from DuckDB's HUGEINT sum
-       widening, oracle now casts to BIGINT);
-    3. then the STALEST previously-verified ids — the 20 last checked in
-       round 2, then the first 1 of the round-3 window —
-       cycling so every id is re-verified at most ~two rounds apart.
+    1. ids new this round (the §2.9g mining/interval additions), first;
+    2. ids whose last driver check FAILED (none — round 5 was 50/50 green);
+    3. then the STALEST previously-verified ids: 46 of the 49 ids last
+       driver-checked in round 3. The three r3 ids held back to round 7
+       (`stream_clean_sink`, `stream_stateful_stats`,
+       `stream_weather_pipeline`) are the ones carrying independent
+       batch/stream-parity pytest pins, so they lose the least from one
+       extra round of window wait.
 
     Ids displaced from the window this round (and the round each was last
     driver-verified) are recorded in COVERAGE_ROTATION.md; all of them remain
@@ -55,64 +52,60 @@ def coverage_rotation() -> list[str]:
     pytest.
     """
     new_this_round = [
-        "sql_tpch_q2",
-        "sql_tpch_q4",
-        "sql_tpch_q7",
-        "sql_tpch_q8",
-        "sql_tpch_q9",
-        "sql_tpch_q11",
-        "sql_tpch_q12",
-        "sql_tpch_q13",
-        "sql_tpch_q14",
-        "sql_tpch_q15",
-        "sql_tpch_q16",
-        "sql_tpch_q17",
-        "sql_tpch_q19",
-        "sql_tpch_q20",
-        "sql_tpch_q22",
-        "ext_paragraph_dedup",
-        "ext_doc_chunk",
-        "ext_dedup_url",
-        "ext_scd2_dim",
-        "ext_unigram_logprob",
-        "ext_split_leakage",
-        "ext_cdc_merge",
-        "ext_bm25_search",
-        "window_gap_islands",
-        "stream_stream_join",
-        "stream_multibatch_agg",
-        "snk_time_travel",
-        "agg_udaf_geomean",
-    ]
-    fix_reverify = [
-        "ext_repetition_stats",
-    ]
-    stale_r2 = [
-        "join_left_semi",
-        "join_outer",
-        "limit_head",
-        "proj_nested_extract",
-        "proj_rename",
-        "proj_select_cols",
-        "proj_unpivot",
-        "setop_intersect",
-        "setop_union_all",
-        "snk_append_write",
-        "snk_compact_small_files",
-        "snk_json_roundtrip",
-        "snk_partitioned_write",
-        "sort_order_by",
-        "src_json_corrupt",
-        "src_json_scan",
-        "src_orc_roundtrip",
-        "src_parquet_scan",
-        "src_python_datasource",
-        "src_table_scan",
+        "ext_pmi_collocations",
+        "ext_heavy_hitters",
+        "ext_link_pagerank",
+        "join_interval_overlap",
     ]
     stale_r3 = [
-        "agg_cached_dashboard",
+        "agg_cube",
+        "agg_quartiles_exact",
+        "agg_rollup",
+        "agg_session_window",
+        "agg_sliding_window",
+        "ext_data_quality",
+        "ext_dataset_mix",
+        "ext_decontaminate",
+        "ext_dedup_components",
+        "ext_dedup_exact",
+        "ext_dedup_fingerprint",
+        "ext_dedup_fuzzy",
+        "ext_dedup_ngram",
+        "ext_dedup_simhash",
+        "ext_doc_len_histogram",
+        "ext_doc_winnow",
+        "ext_emb_neardup",
+        "ext_json_props",
+        "ext_lang_quality",
+        "ext_multimodal_chunks",
+        "ext_multimodal_features",
+        "ext_multimodal_meta",
+        "ext_pii_scrub",
+        "ext_sample_stratified",
+        "ext_sim_topk",
+        "ext_split_hash",
+        "ext_text_stats",
+        "ext_token_pack",
+        "ext_vocab_topk",
+        "ext_zorder_cluster",
+        "fn_regex_extract",
+        "join_asof",
+        "join_bucketed",
+        "join_range_band",
+        "join_salted_skew",
+        "setop_except",
+        "snk_upsert_write",
+        "sql_tpch_q1",
+        "sql_tpch_q3",
+        "sql_tpch_q5",
+        "sql_tpch_q6",
+        "src_csv_roundtrip",
+        "window_lag_delta",
+        "window_latest_per_key",
+        "window_ntile",
+        "window_rolling_avg",
     ]
-    return new_this_round + fix_reverify + stale_r2 + stale_r3
+    return new_this_round + stale_r3
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

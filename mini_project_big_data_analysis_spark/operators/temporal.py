@@ -107,3 +107,44 @@ def range_band_join(
         .filter(F.abs(F.col(left_sec) - F.col(right_sec)) <= band)
         .drop("__band_bin")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    bucket_sec: int,
+) -> DataFrame:
+    """Interval × interval overlap join: all (left, right) pairs whose
+    [start, end] ranges intersect (``l_start <= r_end AND r_start <= l_end``,
+    bounds inclusive, in epoch seconds).
+
+    The naive plan is again a theta-only BroadcastNestedLoopJoin. Bucketed
+    form: each side explodes to every ``bucket_sec``-wide time bucket its
+    interval covers, the join becomes an equi join on bucket id + the exact
+    overlap filter, and the pair is emitted ONLY in the bucket containing
+    the overlap's start (``floor(max(l_start, r_start) / bucket_sec)``) —
+    each qualifying pair meets exactly once, so no distinct/dedup shuffle
+    is needed afterwards. Cost: one shuffle on the bucket key; expansion
+    factor = interval length / bucket width (pick ``bucket_sec`` near the
+    typical interval length; heavily skewed buckets fall to AQE
+    skew-split). Column names must not collide across sides.
+    """
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+
+    def spread(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / bucket_sec), F.floor(F.col(e) / bucket_sec)
+                )
+            ),
+        )
+
+    pairs = spread(left, ls, le).join(spread(right, rs, re_), on="__bk")
+    overlap = (F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le))
+    once = F.col("__bk") == F.floor(F.greatest(F.col(ls), F.col(rs)) / bucket_sec)
+    return pairs.filter(overlap & once).drop("__bk")

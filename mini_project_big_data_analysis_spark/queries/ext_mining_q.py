@@ -1,0 +1,265 @@
+r"""Round-6 corpus/statistics mining queries (SURVEY.md §2.9g): PMI bigram
+collocations, exact φ-heavy-hitters, and an iterative link-graph PageRank.
+
+Like the rest of the §2.9 family these model operations a training-data
+pipeline runs at corpus scale (the reference stops at city-level weather
+aggregation, app.py:101-153, so these derive from the north-star extension
+charter, not reference behavior). Every formula is a pure column expression
+mirrored exactly in the DuckDB oracle; the PageRank iteration count is
+fixed and unrolled identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+# ---------------------------------------------------------------------------
+# ext_pmi_collocations — pointwise-mutual-information bigram mining
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+_PMI_ORACLE = rf"""
+WITH toks AS (
+    SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+), big AS (
+    SELECT t[i] AS w1, t[i+1] AS w2
+    FROM toks, unnest(generate_series(1, len(t)-1)) u(i)
+), c12 AS (
+    SELECT w1, w2, count(*)::BIGINT AS n12 FROM big GROUP BY w1, w2
+), c1 AS (
+    SELECT w1, sum(n12)::BIGINT AS n1 FROM c12 GROUP BY w1
+), c2 AS (
+    SELECT w2, sum(n12)::BIGINT AS n2 FROM c12 GROUP BY w2
+), tot AS (
+    SELECT sum(n12)::BIGINT AS n FROM c12
+)
+SELECT w1, w2, n12,
+       round(ln(n12::DOUBLE * tot.n / (c1.n1::DOUBLE * c2.n2)), 6) AS pmi
+FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+WHERE n12 >= {_PMI_MIN_COUNT}
+"""
+
+
+@register("ext_pmi_collocations", _PMI_ORACLE)
+def ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: score every bigram by pointwise mutual
+    information ln(p(w1,w2) / (p(w1)·p(w2))) — the classic measure for
+    multiword expressions ("new york"-style units a tokenizer or phrase
+    vocabulary should keep together; Church & Hanks 1990).
+
+    Scale shape: bigrams come from one narrow arrays_zip (no shuffle), the
+    (w1,w2) count is one hash agg with map-side partial combine, and the
+    marginal counts c1/c2 are RE-AGGREGATIONS of the already-collapsed
+    bigram table (vocab² → vocab, never re-reading the corpus). The two
+    marginal joins shuffle vocabulary-sized tables keyed by a single token
+    — Zipf-skewed (stopword heads), which is exactly the AQE skew-join
+    case — and the grand total joins as a broadcast 1-row literal. The
+    min-count filter applies BEFORE the joins, shrinking the left side
+    first."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.split(F.trim("text"), r"\s+")
+    m = F.greatest(F.size(t) - 1, F.lit(0))
+    big = (
+        docs.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(t, 1, m),
+                    F.slice(t, 2, m),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    c2 = c12.groupBy("w2").agg(F.sum("n12").alias("n2"))
+    tot = c12.agg(F.sum("n12").alias("n"))
+    return (
+        c12.filter(F.col("n12") >= _PMI_MIN_COUNT)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            F.round(
+                F.log(
+                    F.col("n12").cast("double")
+                    * F.col("n")
+                    / (F.col("n1").cast("double") * F.col("n2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_heavy_hitters — exact φ-frequent items per group
+# ---------------------------------------------------------------------------
+
+_HH_PHI = 0.005  # report users owning ≥0.5% of an event type's traffic
+
+_HH_ORACLE = f"""
+WITH per AS (
+    SELECT event_type, user_id, count(*)::BIGINT AS n_events
+    FROM events GROUP BY event_type, user_id
+), tot AS (
+    SELECT event_type, sum(n_events)::BIGINT AS n_total
+    FROM per GROUP BY event_type
+)
+SELECT per.event_type, per.user_id, per.n_events,
+       round(per.n_events::DOUBLE / tot.n_total, 6) AS share
+FROM per JOIN tot USING (event_type)
+WHERE per.n_events::DOUBLE / tot.n_total >= {_HH_PHI}
+"""
+
+
+@register("ext_heavy_hitters", _HH_ORACLE)
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ-heavy-hitters: per event type, every user holding ≥φ=0.5% of
+    that type's events — the frequent-items primitive behind abuse/bot
+    triage, spam-source detection, and dedup-candidate triage.
+
+    Exact IS the scale path here: count is a distributive aggregate (full
+    map-side combine — the shuffle carries one row per (type, user) pair,
+    not per event), and the per-type totals RE-AGGREGATE the collapsed
+    table and broadcast back (totals are |event_type| rows). The sketch
+    alternative (Misra-Gries / count-min, one pass, bounded memory, no
+    second agg) trades that guarantee for ε-error; Spark's built-in
+    ``df.stat.freqItems`` implements the lossy-counting variant and is
+    pinned in tests as a SUPERSET of this exact answer — the property the
+    sketch actually guarantees."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = per.groupBy("event_type").agg(F.sum("n_events").alias("n_total"))
+    share = F.col("n_events").cast("double") / F.col("n_total")
+    return (
+        per.join(F.broadcast(tot), "event_type")
+        .filter(share >= _HH_PHI)
+        .select(
+            "event_type",
+            "user_id",
+            "n_events",
+            F.round(share, 6).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_link_pagerank — fixed-iteration PageRank on a deterministic link graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+# Deterministic synthetic out-links (the documents table has no native link
+# column): every doc cites 3 targets by affine hash of its id. Modulo the
+# doc count keeps targets in-range when ids are dense; when they are not,
+# the inner join against real ids drops dangling edges IDENTICALLY in both
+# engines, so the graphs — and the ranks — still agree exactly.
+_PR_EDGES_SQL = """
+    SELECT d.doc_id AS src, ((d.doc_id * {a} + {b}) % n.cnt) AS dst
+    FROM documents d CROSS JOIN (SELECT count(*) AS cnt FROM documents) n
+"""
+
+
+def _pr_oracle() -> str:
+    edges = " UNION ALL ".join(
+        _PR_EDGES_SQL.format(a=a, b=b) for a, b in [(31, 7), (57, 13), (91, 3)]
+    )
+    sql = f"""
+WITH edges_raw AS ({edges}),
+edges AS (
+    SELECT e.src, e.dst FROM edges_raw e
+    JOIN documents t ON t.doc_id = e.dst
+),
+deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+n AS (SELECT count(*)::DOUBLE AS cnt FROM documents),
+r0 AS (SELECT doc_id, 1.0 / n.cnt AS rank FROM documents CROSS JOIN n)
+"""
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+contrib{i} AS (
+    SELECT e.dst AS doc_id, sum(r.rank / d.outdeg) AS c
+    FROM edges e
+    JOIN {prev} r ON r.doc_id = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r{i} AS (
+    SELECT d.doc_id,
+           (1 - {_PR_DAMP}) / n.cnt + {_PR_DAMP} * coalesce(c.c, 0) AS rank
+    FROM documents d CROSS JOIN n
+    LEFT JOIN contrib{i} c ON c.doc_id = d.doc_id
+)"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT doc_id, round(rank * 1e6, 3) AS rank_ppm FROM {prev}
+"""
+    return sql
+
+
+@register("ext_link_pagerank", _pr_oracle())
+def ext_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d=0.85) over a deterministic synthetic
+    citation graph — the iterative-algorithm template on DataFrames, and a
+    real corpus-curation signal (rank-weighted sampling of crawled pages;
+    dangling-free here since every node emits 3 edges and off-graph targets
+    are dropped identically on both sides).
+
+    Iterative shape on Spark: the edge list is built ONCE and repartitioned
+    by join key, then each iteration is one shuffle join (ranks ⋈ edges) +
+    one hash agg keyed by destination. Lineage grows linearly with
+    iterations — at this fixed k=3 that is fine as-is; the k≫10 recipe
+    (localCheckpoint every few iterations to truncate the plan, as
+    ext_dedup_components does) is the documented scale path. Rank mass is
+    reported in parts-per-million so the fixed rounding retains ~7
+    significant digits across engines."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_df = docs.agg(F.count(F.lit(1)).alias("cnt"))
+    edges_raw = None
+    for a, b in [(31, 7), (57, 13), (91, 3)]:
+        e = docs.join(F.broadcast(n_df)).select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % F.col("cnt")).alias("dst"),
+        )
+        edges_raw = e if edges_raw is None else edges_raw.unionByName(e)
+    edges = edges_raw.join(
+        docs.select(F.col("doc_id").alias("dst")), "dst"
+    ).select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = edges.join(deg, "src").repartition("src")
+
+    n = F.col("cnt").cast("double")
+    ranks = docs.join(F.broadcast(n_df)).select(
+        "doc_id", (F.lit(1.0) / n).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges_deg.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c"))
+            .withColumnRenamed("dst", "doc_id")
+        )
+        ranks = (
+            docs.join(F.broadcast(n_df))
+            .join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    (1 - _PR_DAMP) / n
+                    + _PR_DAMP * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        "doc_id", F.round(F.col("rank") * 1e6, 3).alias("rank_ppm")
+    )

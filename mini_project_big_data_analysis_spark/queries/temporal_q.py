@@ -118,3 +118,64 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sec_b") - F.col("sec_a")).cast("bigint").alias("dt_sec"),
         )
     )
+
+
+_OVERLAP_ORACLE = """
+WITH a AS (
+    SELECT user_id,
+           (floor(epoch(ts))::BIGINT // 3600) AS hr,
+           min(floor(epoch(ts)))::BIGINT AS a_start,
+           max(floor(epoch(ts)))::BIGINT AS a_end
+    FROM events GROUP BY user_id, hr
+), b AS (
+    SELECT event_type,
+           (floor(epoch(ts))::BIGINT // 86400) AS day,
+           min(floor(epoch(ts)))::BIGINT       AS b_start,
+           min(floor(epoch(ts)))::BIGINT + 14400 AS b_end
+    FROM events GROUP BY event_type, day
+)
+SELECT a.user_id, b.event_type,
+       count(*)::BIGINT        AS n_windows,
+       min(b.day)::BIGINT      AS first_day
+FROM a JOIN b ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+GROUP BY a.user_id, b.event_type
+"""
+
+
+@register("join_interval_overlap", _OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join, bucketed: per-user hourly activity
+    intervals against each event type's first-4-hours-of-the-day window —
+    "which users were active while window X was open", the shape behind
+    campaign/incident attribution and session-vs-outage analysis.
+
+    The oracle is DuckDB's native inequality join (IEJoin — an independent
+    algorithm); the Spark side is
+    ``operators.temporal.interval_overlap_join``: both interval sets
+    explode to the 4h time buckets they cover, the join runs as an EQUI
+    join on bucket id + exact overlap filter, and each pair is emitted
+    only in its overlap-start bucket — one shuffle, no cross product, no
+    post-hoc distinct. Both input interval sets are themselves one hash
+    agg each off the same scan."""
+    from ..operators.temporal import interval_overlap_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    a = ev.groupBy(
+        "user_id", F.floor(F.col("sec") / 3600).alias("hr")
+    ).agg(F.min("sec").alias("a_start"), F.max("sec").alias("a_end"))
+    b = (
+        ev.groupBy(
+            "event_type", F.floor(F.col("sec") / 86400).alias("day")
+        )
+        .agg(F.min("sec").alias("b_start"))
+        .withColumn("b_end", F.col("b_start") + 14400)
+    )
+    pairs = interval_overlap_join(
+        a, b, ("a_start", "a_end"), ("b_start", "b_end"), bucket_sec=14400
+    )
+    return pairs.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("day").cast("bigint").alias("first_day"),
+    )

@@ -1,0 +1,114 @@
+"""Round-6 mining operators: PMI collocations, heavy hitters (exact vs the
+built-in frequent-items sketch), fixed-iteration PageRank, and the bucketed
+interval-overlap join — edge cases and the guarantees the oracles can't
+express (sketch superset property, rank-mass conservation, no-cross-product
+plan shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_heavy_hitters_freqitems_sketch_is_superset(spark, sf_dir):
+    """Spark's freqItems (lossy-counting family) guarantees a SUPERSET of
+    the true φ-heavy items — pin exactly that against our exact answer,
+    per event type."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    exact = all_queries()["ext_heavy_hitters"].fn(spark, sf_dir).collect()
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    ev = load(spark, sf_dir, "events")
+    for etype in {r.event_type for r in exact}:
+        want = {r.user_id for r in exact if r.event_type == etype}
+        sketch = set(
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id")
+            .stat.freqItems(["user_id"], support=0.005)
+            .collect()[0][0]
+        )
+        assert want <= sketch, f"{etype}: exact {want - sketch} missing from sketch"
+
+
+def test_pagerank_mass_conserved_and_uniform_baseline(spark, sf_dir):
+    """With no dangling nodes (every doc emits 3 in-range-or-dropped edges;
+    drops are symmetric), total rank mass stays ~1; and every rank is at
+    least the teleport floor (1-d)/N."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    rows = all_queries()["ext_link_pagerank"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    total_ppm = sum(r.rank_ppm for r in rows)
+    # mass conservation up to dropped-edge leakage: ≥90% of 1e6 ppm retained
+    assert 0.9e6 <= total_ppm <= 1.000001e6
+    floor_ppm = 0.15 / n * 1e6
+    assert min(r.rank_ppm for r in rows) >= floor_ppm * 0.999
+
+
+def test_pmi_empty_and_single_token_docs(spark):
+    """Docs with <2 tokens produce no bigrams (ANSI mode: slice/zip must not
+    throw on empty arrays); a planted repeated pair dominates PMI."""
+    from mini_project_big_data_analysis_spark.queries.ext_mining_q import (
+        ext_pmi_collocations,
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pmi_docs_")
+    corpus = (
+        [(i, "alpha beta", "en", "s", 10) for i in range(5)]
+        + [(100, "", "en", "s", 0), (101, "solo", "en", "s", 4)]
+        + [(200 + i, f"w{i} filler", "en", "s", 9) for i in range(3)]
+    )
+    spark.createDataFrame(
+        corpus, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {(r.w1, r.w2): (r.n12, r.pmi) for r in ext_pmi_collocations(spark, d).collect()}
+    assert set(out) == {("alpha", "beta")}  # only pair reaching min count 5
+    n12, pmi = out[("alpha", "beta")]
+    assert n12 == 5
+    # alpha→beta is deterministic: p(w1,w2)=5/8, p(w1)=5/8, p(w2)=5/8
+    import math
+
+    assert abs(pmi - round(math.log((5 / 8) / ((5 / 8) * (5 / 8))), 6)) < 1e-9
+
+
+def test_interval_overlap_join_edges(spark):
+    """Boundary-touching intervals match (inclusive bounds); disjoint ones
+    don't; a pair spanning several shared buckets is emitted exactly once."""
+    from mini_project_big_data_analysis_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 0, 100), (2, 200, 290), (3, 1000, 9000)],
+        "a_id long, a_start long, a_end long",
+    )
+    b = spark.createDataFrame(
+        [(10, 100, 150), (20, 291, 295), (30, 2000, 8000), (40, 50, 60)],
+        "b_id long, b_start long, b_end long",
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            a, b, ("a_start", "a_end"), ("b_start", "b_end"), bucket_sec=100
+        ).collect()
+    }
+    # (1,10): touch at 100 → inclusive match; (2,20): gap of 1 → no;
+    # (3,30): b nested in a across 60 shared buckets → exactly once;
+    # (1,40): b nested in a within one bucket.
+    assert got == {(1, 10), (3, 30), (1, 40)}
+
+
+def test_interval_overlap_plan_is_equi_join(spark, sf_dir):
+    """The bucketed rewrite must plan as a hash/sort-merge EQUI join —
+    BroadcastNestedLoopJoin here would be the O(n·m) scale-killer the
+    operator exists to avoid."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    df = all_queries()["join_interval_overlap"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )

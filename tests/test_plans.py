@@ -379,3 +379,31 @@ def test_gap_islands_single_exchange(spark, sf_dir):
         assert _n_exchanges(plan) == 1, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_pmi_total_broadcasts_and_single_corpus_read_shape(spark, sf_dir):
+    """The PMI grand total must join as a broadcast (1-row literal), and the
+    marginal joins must be equi joins over the COLLAPSED bigram table —
+    never a nested-loop anything."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    df = all_queries()["ext_pmi_collocations"].fn(spark, sf_dir)
+    plan = checks.explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the only nested-loop join allowed is the 1-row total broadcast; the
+    # two marginal joins must be equi joins
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + (
+        plan.count("BroadcastHashJoin")
+    ) >= 2
+
+
+def test_pagerank_iteration_joins_are_equi(spark, sf_dir):
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    df = all_queries()["ext_link_pagerank"].fn(spark, sf_dir)
+    plan = checks.explain_str(df)
+    # rank⋈edge joins across 3 iterations: all hash/sort-merge equi joins;
+    # the doc-count scalar rides broadcast nested loop (1 row) only
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
