@@ -32,19 +32,20 @@ def coverage_rotation() -> list[str]:
     """Driver correctness-coverage rotation for THIS round (round 6).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
-    iteration order each round, so with 157 registered ids only a rotating
+    iteration order each round, so with 161 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly:
 
-    1. ids new this round (the §2.9g mining/interval additions), first;
+    1. ids new this round (the §2.9g mining/interval/product-analytics
+       additions + the schema-evolution source), first;
     2. ids whose last driver check FAILED (none — round 5 was 50/50 green);
-    3. then the STALEST previously-verified ids: 46 of the 49 ids last
-       driver-checked in round 3. The three r3 ids held back to round 7
-       (`stream_clean_sink`, `stream_stateful_stats`,
-       `stream_weather_pipeline`) are the ones carrying independent
-       batch/stream-parity pytest pins, so they lose the least from one
-       extra round of window wait.
+    3. then the STALEST previously-verified ids: 42 of the 49 ids last
+       driver-checked in round 3. The seven r3 ids held back to round 7
+       (the three streaming composites with batch/stream-parity pytest
+       pins, the three multimodal ids with byte-level pytest oracles, and
+       `fn_regex_extract` covered by the scalar-function unit tests) are
+       the ones that lose the least from one extra round of window wait.
 
     Ids displaced from the window this round (and the round each was last
     driver-verified) are recorded in COVERAGE_ROTATION.md; all of them remain
@@ -56,6 +57,10 @@ def coverage_rotation() -> list[str]:
         "ext_heavy_hitters",
         "ext_link_pagerank",
         "join_interval_overlap",
+        "ext_retention_cohorts",
+        "ext_funnel_steps",
+        "ext_ab_zscore",
+        "src_schema_evolution",
     ]
     stale_r3 = [
         "agg_cube",
@@ -77,9 +82,6 @@ def coverage_rotation() -> list[str]:
         "ext_emb_neardup",
         "ext_json_props",
         "ext_lang_quality",
-        "ext_multimodal_chunks",
-        "ext_multimodal_features",
-        "ext_multimodal_meta",
         "ext_pii_scrub",
         "ext_sample_stratified",
         "ext_sim_topk",
@@ -88,7 +90,6 @@ def coverage_rotation() -> list[str]:
         "ext_token_pack",
         "ext_vocab_topk",
         "ext_zorder_cluster",
-        "fn_regex_extract",
         "join_asof",
         "join_bucketed",
         "join_range_band",

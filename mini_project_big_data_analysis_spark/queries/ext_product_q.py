@@ -1,0 +1,240 @@
+r"""Round-6 product-analytics queries (SURVEY.md §2.9g): cohort retention,
+ordered conversion funnel, and deterministic A/B comparison — the
+behavioral-analytics layer every event-log engine ends up serving (the
+reference's dashboard aggregates per city, app.py:101-153; these are the
+same event-log → metric shape at user grain).
+
+All assignments/cuts are pure functions of the data (no RNG): the A/B arm
+derives from ``md5(user_id || salt)`` exactly like the §2.9 hash-split
+family, so the DuckDB oracles reproduce every output byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+# ---------------------------------------------------------------------------
+# ext_retention_cohorts — classic D0/D1/…/DN cohort retention triangle
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH act AS (
+    SELECT DISTINCT user_id, (floor(epoch(ts))::BIGINT // 86400) AS day
+    FROM events
+), first AS (
+    SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+)
+SELECT f.cohort_day,
+       (a.day - f.cohort_day)   AS day_offset,
+       count(*)::BIGINT         AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY f.cohort_day, day_offset
+"""
+
+
+@register("ext_retention_cohorts", _RETENTION_ORACLE)
+def ext_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day, counted
+    on every (cohort, days-since-first) cell — the standard growth/churn
+    readout.
+
+    Scale shape: one (user, day) distinct (hash agg with map-side
+    combine — the shuffle carries user-days, not events), one min-agg for
+    cohorts, one user_id equi-join between two frames ALREADY partitioned
+    by user_id (no extra exchange), and a final small agg. Nothing is
+    quadratic in days or users."""
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400)
+    act = ev.select("user_id", day.alias("day")).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_funnel_steps — ordered conversion funnel (signup → click → purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH ev AS (
+    SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events
+), s1 AS (
+    SELECT user_id, min(sec) AS t1 FROM ev WHERE event_type = 'signup'
+    GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, min(e.sec) AS t2
+    FROM ev e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.sec >= s1.t1
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, min(e.sec) AS t3
+    FROM ev e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.sec >= s2.t2
+    GROUP BY e.user_id
+)
+SELECT * FROM (
+    SELECT '1_signup' AS step, (SELECT count(*) FROM s1)::BIGINT AS n_users,
+           1.0 AS conv_from_prev
+    UNION ALL
+    SELECT '2_click',
+           (SELECT count(*) FROM s2)::BIGINT,
+           round((SELECT count(*) FROM s2)::DOUBLE
+                 / nullif((SELECT count(*) FROM s1), 0), 6)
+    UNION ALL
+    SELECT '3_purchase',
+           (SELECT count(*) FROM s3)::BIGINT,
+           round((SELECT count(*) FROM s3)::DOUBLE
+                 / nullif((SELECT count(*) FROM s2), 0), 6)
+)
+"""
+
+
+@register("ext_funnel_steps", _FUNNEL_ORACLE)
+def ext_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first signup, then first click AT OR AFTER
+    it, then first purchase at or after that — per-step user counts and
+    step-over-step conversion. Order sensitivity (each step only counts
+    events after the previous step's time) is what separates a funnel from
+    three independent counts.
+
+    Scale shape: three staged min-aggs, each keyed by user_id — Catalyst
+    reuses the user_id hash partitioning across the chain, so the whole
+    funnel is ONE logical exchange of user-grain rows plus tiny scalar
+    aggregates; funnels of depth k are k chained semi-joins, never a
+    per-user collect or a window over the whole event log."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("sec") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("sec") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n")).withColumn("k", F.lit(1))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n")).withColumn("k", F.lit(1))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n")).withColumn("k", F.lit(1))
+    wide = (
+        n1.select(F.col("n").alias("c1"), "k")
+        .join(n2.select(F.col("n").alias("c2"), "k"), "k")
+        .join(n3.select(F.col("n").alias("c3"), "k"), "k")
+    )
+    return wide.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_signup").alias("step"),
+                    F.col("c1").alias("n_users"),
+                    F.lit(1.0).alias("conv_from_prev"),
+                ),
+                F.struct(
+                    F.lit("2_click").alias("step"),
+                    F.col("c2").alias("n_users"),
+                    F.round(
+                        F.col("c2").cast("double")
+                        / F.nullif(F.col("c1"), F.lit(0)),
+                        6,
+                    ).alias("conv_from_prev"),
+                ),
+                F.struct(
+                    F.lit("3_purchase").alias("step"),
+                    F.col("c3").alias("n_users"),
+                    F.round(
+                        F.col("c3").cast("double")
+                        / F.nullif(F.col("c2"), F.lit(0)),
+                        6,
+                    ).alias("conv_from_prev"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.step", "r.n_users", "r.conv_from_prev")
+
+
+# ---------------------------------------------------------------------------
+# ext_ab_zscore — deterministic A/B comparison with Welch z-score
+# ---------------------------------------------------------------------------
+
+_AB_ARM = (
+    "CASE WHEN (('0x' || substr(md5(user_id::VARCHAR || 'ab-v1'), 1, 8))"
+    "::UBIGINT)::BIGINT < 2147483648 THEN 'A' ELSE 'B' END"
+)
+
+_AB_ORACLE = f"""
+WITH armed AS (
+    SELECT event_type, value, {_AB_ARM} AS arm
+    FROM events WHERE value IS NOT NULL
+)
+SELECT event_type,
+       count(*) FILTER (WHERE arm = 'A')::BIGINT      AS n_a,
+       count(*) FILTER (WHERE arm = 'B')::BIGINT      AS n_b,
+       round(avg(value) FILTER (WHERE arm = 'A'), 6)  AS mean_a,
+       round(avg(value) FILTER (WHERE arm = 'B'), 6)  AS mean_b,
+       round((avg(value) FILTER (WHERE arm = 'A')
+              - avg(value) FILTER (WHERE arm = 'B'))
+             / sqrt(var_samp(value) FILTER (WHERE arm = 'A')
+                        / count(*) FILTER (WHERE arm = 'A')
+                    + var_samp(value) FILTER (WHERE arm = 'B')
+                        / count(*) FILTER (WHERE arm = 'B')), 6) AS z_score
+FROM armed
+GROUP BY event_type
+"""
+
+
+@register("ext_ab_zscore", _AB_ORACLE)
+def ext_ab_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B readout: users hash-split 50/50 (md5, same recipe
+    as ext_split_hash — assignment is stable under re-partitioning and
+    re-runs), per-metric Welch z-score between the arms. The experiment-
+    analysis primitive, as ONE single-pass conditional aggregation.
+
+    Scale shape: arm assignment is row-local; everything else is one hash
+    agg per event_type with map-side partials (count/sum/sumsq are all
+    distributive — no second pass, no pivot shuffle)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    arm_hash = F.conv(
+        F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit("ab-v1"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    armed = ev.select(
+        "event_type",
+        "value",
+        F.when(arm_hash < 2147483648, "A").otherwise("B").alias("arm"),
+    )
+    a = F.col("arm") == "A"
+    b = F.col("arm") == "B"
+    va = F.when(a, F.col("value"))
+    vb = F.when(b, F.col("value"))
+    n_a = F.count(va)
+    n_b = F.count(vb)
+    mean_a = F.avg(va)
+    mean_b = F.avg(vb)
+    z = (mean_a - mean_b) / F.sqrt(
+        F.var_samp(va) / n_a + F.var_samp(vb) / n_b
+    )
+    return armed.groupBy("event_type").agg(
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -372,3 +372,53 @@ def snk_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name_v1",
         (F.col("n_name_v0") != F.col("n_name_v1")).alias("changed"),
     )
+
+
+@register(
+    "src_schema_evolution",
+    """
+    WITH unioned AS (
+        SELECT event_id, value, NULL AS event_type
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, NULL AS value, event_type
+        FROM events WHERE event_id % 2 = 1
+    )
+    SELECT count(*)::BIGINT              AS n_rows,
+           count(value)::BIGINT          AS n_value,
+           count(event_type)::BIGINT     AS n_type,
+           round(sum(value), 4)          AS sum_value
+    FROM unioned
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet writes with DIFFERENT columns
+    (an old producer writing (event_id, value), a new one writing
+    (event_id, event_type)) land in one table directory; a mergeSchema
+    scan reconciles them into the union schema with NULLs for the columns
+    each file lacks — the lakehouse answer to producers upgrading without
+    a table rewrite.
+
+    Scale note: schema merging is a FOOTER-ONLY operation (one metadata
+    read per file at planning, no data scan), and per-file column pruning
+    still applies afterwards. The oracle expresses the same union
+    relationally. Aggregated output keeps the check row-order-free."""
+    base = os.path.join(
+        tempfile.gettempdir(), "mpbda_spark_sink", f"evo_{uuid.uuid4().hex}"
+    )
+    ev = load(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value").write.parquet(
+        os.path.join(base, "gen=1")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).select("event_id", "event_type").write.parquet(
+        os.path.join(base, "gen=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(base)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_value"),
+        F.count("event_type").alias("n_type"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
