@@ -41,17 +41,24 @@ def ext_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     on every (cohort, days-since-first) cell — the standard growth/churn
     readout.
 
-    Scale shape: one (user, day) distinct (hash agg with map-side
-    combine — the shuffle carries user-days, not events), one min-agg for
-    cohorts, one user_id equi-join between two frames ALREADY partitioned
-    by user_id (no extra exchange), and a final small agg. Nothing is
-    quadratic in days or users."""
+    Scale shape: TWO exchanges total and no join — one user_id hash agg
+    collecting each user's distinct active-day set (map-side partials
+    collapse events to user-days before the shuffle; the set is bounded by
+    the calendar, not by event volume), with the cohort read off the same
+    set via array_min and offsets exploded inline; then the final
+    (cohort, offset) agg. The naive distinct → min-agg → self-join plan
+    costs a third exchange because the (user, day) distinct partitions by
+    both columns."""
     ev = load(spark, sf_dir, "events")
     day = F.floor(F.unix_timestamp("ts") / 86400)
-    act = ev.select("user_id", day.alias("day")).distinct()
-    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set(day.alias("day")).alias("days")
+    )
     return (
-        act.join(first, "user_id")
+        per_user.select(
+            F.array_min("days").alias("cohort_day"),
+            F.explode("days").alias("day"),
+        )
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
