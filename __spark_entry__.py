@@ -32,7 +32,7 @@ def coverage_rotation() -> list[str]:
     """Driver correctness-coverage rotation for THIS round (round 6).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
-    iteration order each round, so with 161 registered ids only a rotating
+    iteration order each round, so with 162 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly:
@@ -40,11 +40,12 @@ def coverage_rotation() -> list[str]:
     1. ids new this round (the §2.9g mining/interval/product-analytics
        additions + the schema-evolution source), first;
     2. ids whose last driver check FAILED (none — round 5 was 50/50 green);
-    3. then the STALEST previously-verified ids: 42 of the 49 ids last
-       driver-checked in round 3. The seven r3 ids held back to round 7
+    3. then the STALEST previously-verified ids: 41 of the 49 ids last
+       driver-checked in round 3. The eight r3 ids held back to round 7
        (the three streaming composites with batch/stream-parity pytest
-       pins, the three multimodal ids with byte-level pytest oracles, and
-       `fn_regex_extract` covered by the scalar-function unit tests) are
+       pins, the three multimodal ids with byte-level pytest oracles,
+       `fn_regex_extract` covered by the scalar-function unit tests, and
+       `join_bucketed` carrying its dedicated no-shuffle plan pytest) are
        the ones that lose the least from one extra round of window wait.
 
     Ids displaced from the window this round (and the round each was last
@@ -61,6 +62,7 @@ def coverage_rotation() -> list[str]:
         "ext_funnel_steps",
         "ext_ab_zscore",
         "src_schema_evolution",
+        "sql_recursive_cte",
     ]
     stale_r3 = [
         "agg_cube",
@@ -91,7 +93,6 @@ def coverage_rotation() -> list[str]:
         "ext_vocab_topk",
         "ext_zorder_cluster",
         "join_asof",
-        "join_bucketed",
         "join_range_band",
         "join_salted_skew",
         "setop_except",

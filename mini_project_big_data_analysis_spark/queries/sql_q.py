@@ -227,3 +227,47 @@ def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("supplier", "lineitem", "orders", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q21)
+
+
+# Dialect split for integer division only: Spark spells it `div`, DuckDB
+# spells it `//` — everything else in the recursive text is shared ANSI.
+_RCTE_BODY = """
+WITH RECURSIVE walk AS (
+    SELECT doc_id, 0 AS level FROM documents WHERE doc_id = 0
+    UNION ALL
+    SELECT d.doc_id, w.level + 1
+    FROM documents d
+    JOIN walk w ON ((d.doc_id - 1) {intdiv} 2) = w.doc_id
+    WHERE d.doc_id > 0
+)
+SELECT level, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM walk GROUP BY level
+"""
+
+
+@register("sql_recursive_cte", _RCTE_BODY.format(intdiv="//"))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4): breadth-first walk of
+    the implicit binary-heap hierarchy over doc ids (parent(i) = (i-1) div 2
+    — cycle-free, depth ⌈log2 N⌉), counting documents per depth level. The
+    iterative-SQL surface (org charts, BOM explosions, graph reachability)
+    expressed in the engine's own dialect rather than a hand-rolled driver
+    loop.
+
+    Scale shape: each recursion step is one equi join of the frontier
+    against the table (Catalyst plans every step; the frontier here grows
+    2× per level and terminates at the leaves). DuckDB's independent
+    WITH RECURSIVE implementation is the oracle; the only dialect split is
+    integer division (`div` vs `//`)."""
+    docs = load(spark, sf_dir, "documents")
+    docs.select("doc_id").createOrReplaceTempView("documents")
+    sql = _RCTE_BODY.format(intdiv="div").replace("::BIGINT", "")
+    out = spark.sql(sql)
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "level",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "min_doc",
+        "max_doc",
+    )

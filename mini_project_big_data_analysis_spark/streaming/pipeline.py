@@ -175,6 +175,13 @@ def run_tumbling_agg_availablenow(
     Real streaming machinery end-to-end: file source, watermark state,
     memory sink, checkpointed progress. ``complete`` output mode so windows
     never wait on a watermark that will not advance after the last file.
+
+    Scale caveat: a complete-mode memory sink materializes the WHOLE result
+    on the driver every trigger — bounded here (one row per (window, type):
+    tens of rows for the 16-city weather shape and the fixture event types),
+    but at real result cardinality the production form is ``append`` mode
+    (watermark-expired windows only) into foreachBatch/parquet, which keeps
+    emission executor-side; the upstream agg/state graph is unchanged.
     """
     name = f"tumbling_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
