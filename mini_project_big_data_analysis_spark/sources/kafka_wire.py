@@ -173,9 +173,15 @@ def parse_record_batches(data: bytes) -> Iterator[WireRecord]:
                 f"RecordBatch CRC mismatch at offset {pos}: "
                 f"stored {crc:#x}, computed {actual:#x}"
             )
-        _attrs, _lod, base_ts, _max_ts, _pid, _pep, _bseq, count = struct.unpack_from(
+        attrs, _lod, base_ts, _max_ts, _pid, _pep, _bseq, count = struct.unpack_from(
             ">hiqqqhii", payload, 0
         )
+        if attrs & 0x07:
+            # bits 0-2 = compression codec (gzip/snappy/lz4/zstd). Refusing
+            # beats silently mis-parsing compressed record bytes as varints.
+            raise ValueError(
+                f"compressed RecordBatch (codec {attrs & 0x07}) unsupported"
+            )
         p = 40  # past the fixed batch-header fields inside payload
         buf = payload
         for _ in range(count):

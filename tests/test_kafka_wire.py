@@ -116,3 +116,27 @@ def test_segment_replay_matches_live_source_frame(spark, tmp_path):
     assert decoded[3].value == -2.25
     assert decoded[4].ts == dt.datetime(2023, 11, 14, 22, 13, 22)
     assert decoded[1].ts == dt.datetime(2023, 11, 14, 22, 13, 20)
+
+
+def test_compressed_batch_is_refused_not_misparsed():
+    """attributes bits 0-2 signal a compression codec; the parser must
+    refuse (after CRC verification) rather than varint-decode compressed
+    bytes into garbage records."""
+    import struct
+
+    from mini_project_big_data_analysis_spark.sources.kafka_wire import crc32c
+
+    blob = bytearray(_segment_blob())
+    # set codec=1 (gzip) in the first batch's attributes and re-sign the CRC
+    attrs_off = 21
+    (attrs,) = struct.unpack_from(">h", blob, attrs_off)
+    struct.pack_into(">h", blob, attrs_off, attrs | 1)
+    (batch_len,) = struct.unpack_from(">i", blob, 8)
+    payload = bytes(blob[21 : 12 + batch_len])
+    struct.pack_into(">I", blob, 17, crc32c(payload))
+    try:
+        list(parse_record_batches(bytes(blob)))
+        raised = False
+    except ValueError as e:
+        raised = "compressed" in str(e)
+    assert raised
