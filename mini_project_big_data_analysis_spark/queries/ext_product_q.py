@@ -110,11 +110,12 @@ def ext_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     events after the previous step's time) is what separates a funnel from
     three independent counts.
 
-    Scale shape: three staged min-aggs, each keyed by user_id — Catalyst
-    reuses the user_id hash partitioning across the chain, so the whole
-    funnel is ONE logical exchange of user-grain rows plus tiny scalar
-    aggregates; funnels of depth k are k chained semi-joins, never a
-    per-user collect or a window over the whole event log."""
+    Scale shape: each step's filtered scan shuffles ONCE on user_id (k
+    scan legs → k exchanges, each carrying only that step's event type);
+    the min-aggs and step-joins between them reuse that partitioning with
+    no re-exchange, and the final counts are scalar aggregates. A depth-k
+    funnel is k chained semi-joins — never a per-user collect or a window
+    over the whole event log."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
     )
