@@ -32,21 +32,24 @@ def coverage_rotation() -> list[str]:
     """Driver correctness-coverage rotation for THIS round (round 6).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
-    iteration order each round, so with 162 registered ids only a rotating
+    iteration order each round, so with 169 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly:
 
     1. ids new this round (the §2.9g mining/interval/product-analytics
-       additions + the schema-evolution source), first;
+       additions + the schema-evolution source, then the §2.9h
+       audit/connector/late-data additions), first;
     2. ids whose last driver check FAILED (none — round 5 was 50/50 green);
-    3. then the STALEST previously-verified ids: 41 of the 49 ids last
-       driver-checked in round 3. The eight r3 ids held back to round 7
+    3. then the STALEST previously-verified ids: 34 of the 49 ids last
+       driver-checked in round 3. The fifteen r3 ids held back to round 7
        (the three streaming composites with batch/stream-parity pytest
        pins, the three multimodal ids with byte-level pytest oracles,
-       `fn_regex_extract` covered by the scalar-function unit tests, and
-       `join_bucketed` carrying its dedicated no-shuffle plan pytest) are
-       the ones that lose the least from one extra round of window wait.
+       `fn_regex_extract` covered by the scalar-function unit tests,
+       `join_bucketed` carrying its dedicated no-shuffle plan pytest, and
+       the seven dedup/similarity ids displaced for the §2.9h additions —
+       each pinned by its own unit test in test_dedup.py/test_similarity.py)
+       are the ones that lose the least from one extra round of window wait.
 
     Ids displaced from the window this round (and the round each was last
     driver-verified) are recorded in COVERAGE_ROTATION.md; all of them remain
@@ -63,6 +66,13 @@ def coverage_rotation() -> list[str]:
         "ext_ab_zscore",
         "src_schema_evolution",
         "sql_recursive_cte",
+        "ext_domain_stats",
+        "ext_perplexity_buckets",
+        "ext_token_regex_count",
+        "ext_multimodal_phash_dedup",
+        "src_kafka_segment",
+        "src_jdbc_scan",
+        "stream_late_filter",
     ]
     stale_r3 = [
         "agg_cube",
@@ -73,20 +83,13 @@ def coverage_rotation() -> list[str]:
         "ext_data_quality",
         "ext_dataset_mix",
         "ext_decontaminate",
-        "ext_dedup_components",
-        "ext_dedup_exact",
-        "ext_dedup_fingerprint",
         "ext_dedup_fuzzy",
-        "ext_dedup_ngram",
-        "ext_dedup_simhash",
         "ext_doc_len_histogram",
         "ext_doc_winnow",
-        "ext_emb_neardup",
         "ext_json_props",
         "ext_lang_quality",
         "ext_pii_scrub",
         "ext_sample_stratified",
-        "ext_sim_topk",
         "ext_split_hash",
         "ext_text_stats",
         "ext_token_pack",

@@ -1,0 +1,286 @@
+r"""Round-6 corpus-audit queries (SURVEY.md §2.9h): domain-mix audit,
+perplexity-tercile bucketing, BPE-style pre-tokenizer counting, and
+binary-payload (multimodal) exact near-dup clustering.
+
+These are the reporting/QA surface a training-data pipeline runs after the
+cleaning tiers (§2.9a-2.9g): what domains feed the corpus, how the
+LM-quality mass is distributed, what the token budget looks like under a
+subword pre-tokenizer, and which media payloads are byte-identical copies.
+The reference stops at city-level weather aggregation (app.py:101-153), so
+this family derives from the north-star extension charter, not reference
+behavior. Every formula is a pure column expression mirrored in the DuckDB
+oracle; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+# ---------------------------------------------------------------------------
+# ext_domain_stats — corpus mix by registered domain
+# ---------------------------------------------------------------------------
+
+# The fixture corpus carries no URLs (same situation as ext_dedup_url,
+# ext_corpus_q.py): a deterministic messy host is synthesized per doc —
+# rotating subdomain prefix, mixed-case label — and both engines reduce it
+# to the registered domain independently, so agreement proves the
+# extraction+aggregation, not the synthesis.
+_HOST_MESSY = """
+    (CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 3 = 1 THEN 'cdn.'
+          ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END)
+    || '.example.com'
+"""
+
+_DOMAIN_ORACLE = rf"""
+WITH hosts AS (
+    SELECT doc_id, lang, n_chars, lower({_HOST_MESSY}) AS host FROM documents
+), reg AS (
+    SELECT doc_id, lang, n_chars,
+           regexp_extract(host, '([^.]+\.example\.com)$', 1) AS domain
+    FROM hosts
+), tot AS (
+    SELECT count(*)::BIGINT AS n FROM reg
+)
+SELECT domain,
+       count(*)::BIGINT                 AS n_docs,
+       count(DISTINCT lang)::BIGINT     AS n_langs,
+       round(avg(n_chars), 4)           AS avg_chars,
+       round(100.0 * count(*) / any_value(tot.n), 4) AS share_pct
+FROM reg CROSS JOIN tot
+GROUP BY domain
+"""
+
+
+@register("ext_domain_stats", _DOMAIN_ORACLE)
+def ext_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix audit: reduce each doc's (synthesized messy) host to its
+    registered domain — case-fold, strip serving subdomains (www/cdn) by
+    anchoring on the public suffix — then report per-domain doc count,
+    language diversity, mean length, and corpus share. This is the first
+    table a corpus datasheet shows, and the input to per-domain sampling
+    weights (ext_dataset_mix).
+
+    Scale shape: row-local lower/regexp, one hash-agg on domain, the
+    corpus total as a broadcast 1-row cross join. Domain cardinality is
+    tiny relative to docs, so map-side partials collapse almost
+    everything before the shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    host = F.lower(
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+            .when(F.col("doc_id") % 3 == 1, F.lit("cdn."))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.upper("source")).otherwise(
+                F.col("source")
+            ),
+            F.lit(".example.com"),
+        )
+    )
+    reg = docs.select(
+        F.regexp_extract(host, r"([^.]+\.example\.com)$", 1).alias("domain"),
+        "lang",
+        "n_chars",
+    )
+    total = reg.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        reg.crossJoin(F.broadcast(total))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(100.0 * F.count(F.lit(1)) / F.first("n"), 4).alias("share_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_perplexity_buckets — head/middle/tail quality terciles under the
+# corpus's own unigram LM (the CCNet-style bucketing)
+# ---------------------------------------------------------------------------
+
+_PPL_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents
+), vocab AS (
+    SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY token
+), total AS (
+    SELECT sum(c)::BIGINT AS n FROM vocab
+), scored AS (
+    SELECT t.doc_id,
+           round(avg(ln(v.c)) - any_value(ln(total.n)), 6) AS avg_logprob
+    FROM toks t JOIN vocab v USING (token) CROSS JOIN total
+    GROUP BY t.doc_id
+), bucketed AS (
+    SELECT doc_id, avg_logprob,
+           ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS bucket
+    FROM scored
+)
+SELECT bucket,
+       count(*)::BIGINT            AS n_docs,
+       round(avg(avg_logprob), 6)  AS bucket_avg_lp,
+       round(min(avg_logprob), 6)  AS bucket_min_lp
+FROM bucketed
+GROUP BY bucket
+"""
+
+
+@register("ext_perplexity_buckets", _PPL_ORACLE)
+def ext_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: score every doc with the cheap
+    perplexity proxy (mean token log-prob under the corpus's own unigram
+    LM — same scoring as ext_unigram_logprob, ext_corpus_q.py), then cut
+    the corpus into head/middle/tail terciles by score. Training mixes
+    keep the head, downsample the middle, drop the tail.
+
+    Determinism across engines: docs are ranked by the ROUNDED score
+    (round-6 values hash-match between Spark and DuckDB — proven by
+    ext_unigram_logprob's green oracle) with doc_id as tie-break, so
+    tercile membership is a total order both engines agree on.
+
+    Scale shape: the LM scoring is the unigram plan (token agg + skewed
+    equi-join left to AQE); ntile over a corpus-wide ORDER BY is the one
+    genuinely global operation — Spark runs it as a range-partitioned
+    sort (no single-reducer bottleneck for the sort itself; the unbounded
+    window is rank-only so no frame state accumulates)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log("c")) - F.first(F.log("n")), 6).alias("avg_logprob")
+        )
+    )
+    w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_logprob"), 6).alias("bucket_avg_lp"),
+            F.round(F.min("avg_logprob"), 6).alias("bucket_min_lp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_token_regex_count — subword-style pre-tokenizer budget counting
+# ---------------------------------------------------------------------------
+
+# GPT-2-ish pre-tokenizer, reduced to a class set whose semantics are
+# identical in Java regex (Spark) and RE2 (DuckDB): letter runs, single
+# digits, single non-alphanumeric marks. \s is deliberately avoided —
+# Java's \s includes \x0B, RE2's does not.
+_BPE_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]"
+
+_TOKCOUNT_ORACLE = rf"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_PAT}'))::BIGINT AS n_bpe_tokens,
+       round(n_chars / greatest(len(regexp_extract_all(text, '{_BPE_PAT}')), 1), 4)
+           AS chars_per_token
+FROM documents
+"""
+
+
+@register("ext_token_regex_count", _TOKCOUNT_ORACLE)
+def ext_token_regex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget counting under a BPE-style pre-tokenizer: per doc, the
+    whitespace token count, the subword-pretokenizer match count (letter
+    runs / single digits / single punctuation — the GPT-2 pattern family),
+    and chars-per-token (the compression proxy used to spot
+    non-linguistic content: code and tables run low, CJK runs high).
+
+    Pure codegen: split + regexp_extract_all + size, no shuffle at all —
+    the per-doc token budget is the cheapest full-corpus pass there is,
+    which is why real pipelines attach it to every scan."""
+    docs = load(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(F.col("n_chars") / F.greatest(n_bpe, F.lit(1)), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_multimodal_phash_dedup — byte-identical media payload clustering
+# ---------------------------------------------------------------------------
+
+#: perceptual-hash window: the leading bytes of the payload stand in for
+#: pHash's fixed-size downsample (a real pHash resizes the decoded image to
+#: a fixed raster first, then hashes — same shape: reduce, then digest).
+_PHASH_WINDOW = 64
+
+_PHASH_ORACLE = f"""
+WITH hashed AS (
+    -- DuckDB's md5 takes VARCHAR and digests its utf-8 bytes; the fixture
+    -- corpus is pure ASCII so substr-by-chars ≡ substr-by-bytes and the
+    -- digest agrees with Spark's md5 over the binary payload slice.
+    SELECT doc_id,
+           substr(md5(substr(text, 1, {_PHASH_WINDOW})), 1, 16) AS phash,
+           octet_length(encode(text)) AS nb
+    FROM documents
+)
+SELECT phash,
+       count(*)::BIGINT AS n_copies,
+       min(doc_id)      AS keeper_doc_id,
+       sum(nb)::BIGINT  AS cluster_bytes
+FROM hashed
+GROUP BY phash
+HAVING count(*) >= 2
+"""
+
+
+@register("ext_multimodal_phash_dedup", _PHASH_ORACLE)
+def ext_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-payload near-dup clustering over the BINARY column, the
+    perceptual-hash shape: REDUCE each payload to a fixed-size window
+    (a real pHash decodes and resizes to a fixed raster; here the leading
+    64 payload bytes are the deterministic stand-in this container's lack
+    of codecs forces), DIGEST the reduction, then cluster payloads whose
+    digests collide — reporting copies, keeper, and reclaimable bytes.
+    The fixture's near-duplicate docs share long prefixes, so the window
+    hash groups them the way a pHash groups re-encoded images.
+
+    Runs on the attach_binary_payload ingestion shape
+    (operators/multimodal.py:59 — payload = utf-8 bytes of text), so the
+    oracle mirrors the digest via md5 of the text prefix.
+
+    Scale shape: reduce+digest is row-local (the payload never shuffles —
+    only the 16-char digest does), then one hash-agg on the digest. This
+    is why media dedup is always hash-first: the shuffle carries ~32
+    bytes/row regardless of payload size."""
+    from ..operators.multimodal import attach_binary_payload
+
+    media = attach_binary_payload(load(spark, sf_dir, "documents"))
+    hashed = media.select(
+        "doc_id",
+        F.substring(
+            F.md5(F.expr(f"substring(payload, 1, {_PHASH_WINDOW})")), 1, 16
+        ).alias("phash"),
+        F.octet_length("payload").alias("nb"),
+    )
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.sum("nb").cast("long").alias("cluster_bytes"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

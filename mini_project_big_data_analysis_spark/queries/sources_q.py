@@ -422,3 +422,126 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("event_type").alias("n_type"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "src_kafka_segment",
+    """
+    SELECT (row_number() OVER (ORDER BY n_nationkey) - 1)::BIGINT AS offset,
+           strftime(to_timestamp(1700000000 +
+                    (row_number() OVER (ORDER BY n_nationkey) - 1)),
+                    '%Y-%m-%d %H:%M:%S') AS kafka_ts,
+           n_nationkey AS nationkey,
+           n_name      AS name,
+           n_regionkey AS regionkey
+    FROM nation
+    """,
+)
+def src_kafka_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka log-segment replay end-to-end (consumer.py:18-25 without a
+    broker): rows are serialized into a spec-conformant v2 RecordBatch
+    segment (sources/kafka_wire.py:108 — the producer/broker role), the
+    segment file is scanned back through ``read_kafka_segment`` (binaryFile
+    scan → CRC-verified Arrow-batched parse into the exact
+    `spark.read.format("kafka")` wire frame), and the JSON values are
+    decoded into typed columns. Offsets and broker timestamps come OUT of
+    the wire bytes, so the oracle's row_number/epoch mirror checks the
+    codec, not just the payload.
+
+    The encode side collects the nation dim driver-side — bounded by
+    construction (a constant-size dim, same bound class as the centroid
+    collects, operators/similarity.py:292). A 100 TB replay keeps one task
+    per segment file (brokers cap segments at log.segment.bytes); only
+    this fixture's *construction* is driver-side."""
+    import json as _json
+
+    from ..sources.kafka_wire import encode_record_batch, read_kafka_segment
+
+    rows = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    records = [
+        (
+            str(r.n_nationkey).encode(),
+            _json.dumps(
+                {"nationkey": r.n_nationkey, "name": r.n_name,
+                 "regionkey": r.n_regionkey},
+                sort_keys=True,
+            ).encode(),
+        )
+        for r in rows
+    ]
+    seg_dir = os.path.join(
+        tempfile.gettempdir(), "mpbda_spark_sink", f"kseg_{uuid.uuid4().hex}"
+    )
+    os.makedirs(seg_dir)
+    with open(os.path.join(seg_dir, "00000000000000000000.log"), "wb") as f:
+        f.write(
+            encode_record_batch(
+                records, base_timestamp_ms=1_700_000_000_000,
+                timestamp_step_ms=1000,
+            )
+        )
+    wire = read_kafka_segment(spark, seg_dir, topic="nation")
+    decoded = F.from_json(
+        F.col("value").cast("string"),
+        "nationkey INT, name STRING, regionkey INT",
+    )
+    return wire.select(
+        "offset",
+        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss").alias("kafka_ts"),
+        decoded.getField("nationkey").alias("nationkey"),
+        decoded.getField("name").alias("name"),
+        decoded.getField("regionkey").alias("regionkey"),
+    )
+
+
+@register(
+    "src_jdbc_scan",
+    """
+    SELECT c_custkey, c_name, c_acctbal, c_nationkey
+    FROM customer
+    WHERE c_acctbal > 1000
+    """,
+)
+def src_jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned JDBC scan against a real SQL engine (embedded Derby —
+    the store JdbcKeyedStore, sources/writers.py, uses for the MERGE seam;
+    the reference's equivalent external store is Mongo, consumer.py:12-13):
+    the customer dim is published to the database, then read back with
+    ``partitionColumn/numPartitions`` splitting the key range into 4
+    parallel range-scan tasks and the acctbal predicate pushed into the
+    database (each task issues its own bounded WHERE query — this is how
+    Spark parallelizes any JDBC source at cluster scale; 100 TB fact
+    tables don't live in JDBC, dims and control tables do).
+
+    Oracle = the same projection/filter on the parquet dim: round-tripping
+    through Derby's DOUBLE/VARCHAR types must be lossless."""
+    from ..sources.writers import DERBY_DRIVER, derby_embedded_url
+
+    db_dir = os.path.join(
+        tempfile.gettempdir(), "mpbda_spark_sink", f"jdbc_{uuid.uuid4().hex}", "db"
+    )
+    url = derby_embedded_url(db_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    cust.write.format("jdbc").option("url", url).option("dbtable", "cust").option(
+        "driver", DERBY_DRIVER
+    ).save()
+    hi = cust.agg(F.max("c_custkey")).first()[0]  # bounded scalar (dim max key)
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "cust")
+        .option("driver", DERBY_DRIVER)
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", 1)
+        .option("upperBound", int(hi) + 1)
+        .option("numPartitions", 4)
+        .load()
+        .filter(F.col("c_acctbal") > 1000)
+    )

@@ -246,3 +246,35 @@ def stream_multibatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_multibatch_agg
 
     return run_multibatch_agg(spark, sf_dir)
+
+
+@register(
+    "stream_late_filter",
+    """
+    WITH ev AS (
+        SELECT event_id, ts, user_id, value FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), hw AS (
+        SELECT user_id, max(ts) AS hw_ts FROM ev
+        WHERE event_id % 2 = 0 GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           e.value
+    FROM ev e LEFT JOIN hw USING (user_id)
+    WHERE e.event_id % 2 = 0
+       OR hw.hw_ts IS NULL
+       OR e.ts >= hw.hw_ts - INTERVAL 30 MINUTE
+    """,
+)
+def stream_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic late-data admission policy as an explicit stateful
+    operator (applyInPandasWithState): per-user high-water event time from
+    prior micro-batches gates each arriving row to a 30-minute lateness
+    budget — the auditable alternative to watermark best-effort drops.
+    Two parity-split micro-batches (even event_ids first) make the late
+    set deterministic. STRONG oracle: admission is a pure function of the
+    parity split and per-user max even-row ts (a left join in SQL)."""
+    from ..streaming.pipeline import run_late_filter
+
+    return run_late_filter(spark, sf_dir)

@@ -618,3 +618,112 @@ def run_multibatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).filter(F.col("event_type") != "sentinel")
+
+
+def run_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit late-data policy as a custom stateful operator — the
+    DETERMINISTIC alternative to relying on watermark drops (which Spark
+    documents, and this runtime confirms, as best-effort for aggregations:
+    see run_multibatch_agg's caveat). Real pipelines that must *audit*
+    what they dropped implement the policy themselves, exactly like this:
+
+    per-key (user) state carries the high-water event time of all PRIOR
+    micro-batches; a row is admitted iff it is no more than 30 minutes
+    older than that high-water mark (or the key is new), and the mark
+    then advances to include the current batch. The event log is split
+    into two micro-batches by event_id parity (even first), so odd rows
+    older than a user's even-row high-water mark minus 30 min are the
+    deterministic "late" set.
+
+    STRONG oracle: admission is a pure function of (parity split, per-user
+    max even-row ts), which SQL states as a left join — independent of
+    batch scheduling by construction. State is one int64 per user on the
+    shuffle partition owning the key (the transformWithState scale
+    posture); the payload never enters state.
+    """
+    import glob
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..sources.readers import read_table
+
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    base = os.path.join(tempfile.gettempdir(), "mpbda_stream_in", name)
+    indir = os.path.join(base, "in")
+    os.makedirs(indir)
+    cols = ["event_id", "ts", "user_id", "value"]
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(cols)
+    )
+    now = _time.time()
+    for i, piece in enumerate(
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
+    ):
+        tmp = os.path.join(base, "tmp")
+        piece.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(indir, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 500 + i * 100,) * 2)  # mtime = arrival order
+
+    LATE_BUDGET_US = 30 * 60 * 1_000_000  # 30 minutes, in µs
+
+    def admit(key, pdfs, state: GroupState):
+        prior = state.get[0] if state.exists else None
+        hw = prior
+        for pdf in pdfs:
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            # policy reads PRIOR-batch state only; intra-batch rows never
+            # gate each other (each batch is one parity class anyway)
+            mask = (
+                ts_us >= prior - LATE_BUDGET_US
+                if prior is not None
+                else ts_us == ts_us
+            )
+            batch_max = int(ts_us.max()) if len(ts_us) else None
+            if batch_max is not None:
+                hw = batch_max if hw is None else max(hw, batch_max)
+            out = pdf[mask]
+            if len(out):
+                yield pd.DataFrame(
+                    {
+                        "event_id": out["event_id"],
+                        "user_id": out["user_id"],
+                        "ts_s": out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                        "value": out["value"],
+                    }
+                )
+        if hw is not None:
+            state.update((hw,))
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    admitted = src.groupBy("user_id").applyInPandasWithState(
+        admit,
+        outputStructType="event_id long, user_id long, ts_s string, value double",
+        stateStructType="hw long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
