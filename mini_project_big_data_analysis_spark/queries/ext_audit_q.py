@@ -284,3 +284,63 @@ def ext_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_ngram_novelty — memorization-risk audit (unique-trigram share per doc)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), grams AS (
+    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+    FROM toks, unnest(generate_series(1, len(t) - 2)) u(i)
+), counts AS (
+    SELECT g, count(*)::BIGINT AS c FROM grams GROUP BY g
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_grams,
+       round(avg(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+FROM grams JOIN counts USING (g)
+GROUP BY doc_id
+"""
+
+
+@register("ext_ngram_novelty", _NOVELTY_ORACLE)
+def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk audit: per doc, the share of its word trigrams
+    that occur nowhere else in the corpus (corpus count = 1). Docs whose
+    trigrams are mostly shared are templated/duplicated content a model
+    will memorize verbatim; high-novelty docs carry the information.
+    The trigram grain is the same one decontamination (ext_decontaminate)
+    and winnowing (ext_doc_winnow) key on.
+
+    Scale shape: trigram fan-out is a narrow transform inside the scan
+    stage; the corpus trigram count collapses via map-side partials
+    before one hash-agg shuffle; then grams ⋈ counts is an equi-join on
+    the gram (Zipf-skewed — AQE splits the hot reducers) and the per-doc
+    verdict is a second hash-agg. No driver-side state at any point."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(trim(text), '\\\\s+')) >= 3 THEN "
+                "transform(sequence(0, size(split(trim(text), '\\\\s+')) - 3), "
+                "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, 3))) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        grams.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.avg(F.when(F.col("c") == 1, 1.0).otherwise(0.0)), 6
+            ).alias("novelty"),
+        )
+    )

@@ -243,3 +243,24 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         )
     )
+
+
+@register(
+    "setop_intersect_all",
+    """
+    SELECT l_suppkey AS id FROM lineitem WHERE l_quantity < 10
+    INTERSECT ALL
+    SELECT l_suppkey AS id FROM lineitem WHERE l_quantity > 40
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag intersection — each id kept min(count_left,
+    count_right) times, the multiset semantics plain INTERSECT's dedup
+    throws away). Catalyst plans it as one partial-count aggregate per
+    side + a join on the key — two scans, one shuffle each, no distinct
+    pass; the duplicate multiplicities ride the aggregates, never the raw
+    rows."""
+    li = load(spark, sf_dir, "lineitem")
+    lo = li.filter(F.col("l_quantity") < 10).select(F.col("l_suppkey").alias("id"))
+    hi = li.filter(F.col("l_quantity") > 40).select(F.col("l_suppkey").alias("id"))
+    return lo.intersectAll(hi)

@@ -12,6 +12,7 @@ stable comparison type.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .base import load, register
 
@@ -270,4 +271,84 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("bigint").alias("n_docs"),
         "min_doc",
         "max_doc",
+    )
+
+
+_SQL_PIVOT_ORACLE = """
+SELECT event_type,
+       round(avg(CASE WHEN CAST(strftime(ts, '%w') AS INT) = 0 THEN value END), 6) AS d0,
+       round(avg(CASE WHEN CAST(strftime(ts, '%w') AS INT) = 1 THEN value END), 6) AS d1,
+       round(avg(CASE WHEN CAST(strftime(ts, '%w') AS INT) = 2 THEN value END), 6) AS d2,
+       round(avg(CASE WHEN CAST(strftime(ts, '%w') AS INT) = 3 THEN value END), 6) AS d3,
+       round(avg(CASE WHEN CAST(strftime(ts, '%w') AS INT) = 4 THEN value END), 6) AS d4,
+       round(avg(CASE WHEN CAST(strftime(ts, '%w') AS INT) = 5 THEN value END), 6) AS d5,
+       round(avg(CASE WHEN CAST(strftime(ts, '%w') AS INT) = 6 THEN value END), 6) AS d6
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("sql_pivot", _SQL_PIVOT_ORACLE)
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (the declarative twin of agg_pivot's DataFrame
+    ``.pivot()``, app.py:153 pivot_table): event_type × day-of-week mean
+    value with the pivot column list stated inline — no distinct-scan
+    planning job, exact output column order. Compiles to the same single
+    partial→final hash aggregate as the DataFrame form (7 conditional aggs,
+    one shuffle on event_type); the oracle states it as conditional
+    aggregation, which is also what Catalyst lowers PIVOT to."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    pivoted = spark.sql(
+        """
+        SELECT * FROM (
+            SELECT event_type, dayofweek(ts) - 1 AS dow, value FROM events
+        )
+        PIVOT (avg(value) FOR dow IN (0, 1, 2, 3, 4, 5, 6))
+        """
+    )
+    return pivoted.select(
+        "event_type",
+        *[F.round(F.col(f"`{d}`"), 6).alias(f"d{d}") for d in range(7)],
+    )
+
+
+_LATERAL_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), pos AS (
+    SELECT doc_id, t[i] AS token, i - 1 AS p
+    FROM toks, unnest(generate_series(1, len(t))) u(i)
+)
+SELECT token,
+       count(*)::BIGINT   AS n_occ,
+       round(avg(p), 4)   AS avg_pos,
+       min(doc_id)        AS first_doc
+FROM pos
+GROUP BY token
+HAVING count(*) >= 50
+"""
+
+
+@register("sql_lateral_view", _LATERAL_ORACLE)
+def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode — the SQL table-generating-function surface
+    (the declarative twin of DataFrame ``explode``): fan each doc out to
+    (position, token) pairs and profile where in documents each frequent
+    token tends to sit (avg position — boilerplate headers skew low,
+    signature lines skew high). The generator runs inside the scan stage
+    (no extra shuffle for the fan-out); the single shuffle is the token
+    hash-agg, Zipf skew left to AQE. Oracle unnests with an index to
+    mirror positions exactly."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        r"""
+        SELECT token,
+               count(*)            AS n_occ,
+               round(avg(pos), 4)  AS avg_pos,
+               min(doc_id)         AS first_doc
+        FROM documents
+        LATERAL VIEW posexplode(split(trim(text), '\\s+')) t AS pos, token
+        GROUP BY token
+        HAVING count(*) >= 50
+        """
     )

@@ -278,3 +278,31 @@ def stream_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_late_filter
 
     return run_late_filter(spark, sf_dir)
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    """
+    WITH ev AS (
+        SELECT event_id, ts, user_id, value FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), ranked AS (
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev
+    )
+    SELECT user_id, event_id, ts_s, value FROM ranked WHERE rn = 1
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE through foreachBatch into the keyed upsert store
+    (the reference's insert_one consumer loop, consumer.py:78, upgraded to
+    replay-safe bulk MERGE): two time-ordered micro-batches, each deduped
+    to latest-per-user and upserted; the final store must equal the batch
+    latest-row-per-user over the whole log. STRONG oracle — a lost batch,
+    a double-applied batch, or a mis-merged key all break the hash."""
+    from ..streaming.pipeline import run_foreachbatch_upsert
+
+    return run_foreachbatch_upsert(spark, sf_dir)

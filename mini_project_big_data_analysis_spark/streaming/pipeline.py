@@ -727,3 +727,88 @@ def run_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE: micro-batches land in the keyed upsert store
+    through ``foreachBatch`` — the production sink shape the reference's
+    per-record ``insert_one`` loop (consumer.py:78) maps to. Each batch is
+    deduped to one row per user (latest by event time) and merged via
+    ``upsert_into`` (sources/writers.py): replay-safe because re-delivering
+    a batch replaces the same keys with the same rows — effectively-
+    exactly-once on top of an at-least-once stream.
+
+    The event log is split into two TIME-ORDERED halves (one micro-batch
+    each), so last-write-wins by arrival order coincides with latest-by-
+    event-time and the final store contents have a STRONG batch oracle:
+    the latest row per user over the whole log.
+
+    Scale shape: per batch, one window shuffle to dedupe + the upsert's
+    bucket-pruned anti-join/rewrite — the store only rewrites buckets the
+    batch touches, so sink IO tracks batch size, not table size.
+    """
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from ..sources.readers import read_table
+    from ..sources.writers import ParquetBucketStore, upsert_into
+
+    name = f"fbu_{uuid.uuid4().hex[:8]}"
+    base = os.path.join(tempfile.gettempdir(), "mpbda_stream_in", name)
+    indir = os.path.join(base, "in")
+    os.makedirs(indir)
+    cols = ["event_id", "ts", "user_id", "value"]
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(cols)
+    )
+    mid = ev.select(
+        F.percentile_approx("ts", 0.5, 10000).alias("m")
+    ).first()["m"]
+    now = _time.time()
+    for i, piece in enumerate(
+        [ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)]
+    ):
+        tmp = os.path.join(base, "tmp")
+        piece.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(indir, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 500 + i * 100,) * 2)  # mtime = arrival order
+
+    store = ParquetBucketStore(spark, os.path.join(base, "store"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        latest = (
+            bdf.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )  # upsert contract: key-unique updates
+        upsert_into(store, latest, keys=["user_id"])
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    q = (
+        src.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return store.read_all().select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
+    )

@@ -114,3 +114,53 @@ def test_late_filter_admits_all_even_and_gates_odd(spark, sf_dir):
     n_odd = ev.filter(F.col("event_id") % 2 == 1).count()
     got_odd = got.filter(F.col("event_id") % 2 == 1).count()
     assert got_odd <= n_odd  # some odd rows may be late-dropped
+
+
+ROUND6_BATCH2_IDS = [
+    "sql_pivot",
+    "sql_lateral_view",
+    "setop_intersect_all",
+    "ext_ngram_novelty",
+    "stream_foreachbatch_upsert",
+]
+
+
+@pytest.mark.parametrize("qid", ROUND6_BATCH2_IDS)
+def test_round6_batch2_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_intersect_all_keeps_multiplicities(spark, sf_dir):
+    df = REGISTRY["setop_intersect_all"].fn(spark, sf_dir)
+    counts = df.groupBy("id").count().collect()
+    # bag semantics: at least one id must appear more than once, and each
+    # id's multiplicity is min(left count, right count) — spot-check via SQL
+    from mini_project_big_data_analysis_spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    lo = li.filter(F.col("l_quantity") < 10).groupBy("l_suppkey").count()
+    hi = li.filter(F.col("l_quantity") > 40).groupBy("l_suppkey").count()
+    expect = {
+        r.l_suppkey: min(r["count"], r["hi_count"])
+        for r in lo.join(
+            hi.withColumnRenamed("count", "hi_count"), "l_suppkey"
+        ).collect()
+    }
+    got = {r.id: r["count"] for r in counts}
+    assert got == {k: v for k, v in expect.items() if v > 0}
+
+
+def test_ngram_novelty_bounds_and_dup_sensitivity(spark, sf_dir):
+    rows = REGISTRY["ext_ngram_novelty"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 <= r.novelty <= 1.0 for r in rows)
+    # the dup-heavy fixture must contain low-novelty (templated) docs
+    assert any(r.novelty < 0.5 for r in rows)
+
+
+def test_foreachbatch_upsert_is_one_row_per_user(spark, sf_dir):
+    df = REGISTRY["stream_foreachbatch_upsert"].fn(spark, sf_dir)
+    dups = df.groupBy("user_id").count().filter("count > 1").count()
+    assert dups == 0  # MERGE keyed on user: store holds exactly one row/key
