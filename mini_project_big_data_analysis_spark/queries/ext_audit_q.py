@@ -322,13 +322,16 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram (Zipf-skewed — AQE splits the hot reducers) and the per-doc
     verdict is a second hash-agg. No driver-side state at any point."""
     docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
+    # project the token array FIRST so split() runs once per row — inlining
+    # it into the transform lambda would re-tokenize per gram
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(trim(text), '\\\\s+')) >= 3 THEN "
-                "transform(sequence(0, size(split(trim(text), '\\\\s+')) - 3), "
-                "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, 3))) "
+                "CASE WHEN size(t) >= 3 THEN "
+                "transform(sequence(0, size(t) - 3), "
+                "i -> concat_ws(' ', t[i], t[i+1], t[i+2])) "
                 "ELSE array() END"
             )
         ).alias("g"),

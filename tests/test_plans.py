@@ -407,3 +407,100 @@ def test_pagerank_iteration_joins_are_equi(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_token_regex_count_is_shuffle_free(spark, sf_dir):
+    """The per-doc token budget is a pure scan-stage projection: any
+    Exchange means the plan regressed to something non-embarrassingly
+    parallel."""
+    from mini_project_big_data_analysis_spark.queries.ext_audit_q import (
+        ext_token_regex_count,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = checks.explain_str(ext_token_regex_count(spark, sf_dir))
+        assert _n_exchanges(plan) == 0, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_phash_dedup_shuffles_digests_not_payloads(spark, sf_dir):
+    """One hash-agg exchange, and the bytes on the wire are the 16-char
+    digest + length — the payload column must be projected away BEFORE the
+    exchange (the property that makes hash-first media dedup viable when
+    payloads are megabytes)."""
+    from mini_project_big_data_analysis_spark.queries.ext_audit_q import (
+        ext_multimodal_phash_dedup,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = ext_multimodal_phash_dedup(spark, sf_dir)
+        plan = checks.explain_str(df)
+        assert _n_exchanges(plan) == 1, plan
+        # partial aggregate (below the exchange) already keys on the digest:
+        # the exchange's input schema is (phash, count, min, sum) — never the
+        # payload. Formatted plans list each node's Output; the Exchange's
+        # input is the partial HashAggregate, so assert payload is absent
+        # from every aggregate node.
+        for chunk in plan.split("\n\n"):
+            if "HashAggregate" in chunk:
+                assert "payload" not in chunk, chunk
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_sql_pivot_is_aggregate_only(spark, sf_dir):
+    """PIVOT must lower to aggregation only (Catalyst's two-phase pivot:
+    agg on (key, pivot col), then pivot-agg on key — at most two
+    exchanges, the first collapsing to |keys×7| rows) — never a join of 7
+    per-day subqueries."""
+    from mini_project_big_data_analysis_spark.queries.sql_q import sql_pivot
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = checks.explain_str(sql_pivot(spark, sf_dir))
+        assert _n_exchanges(plan) <= 2, plan
+        assert "Join" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_ngram_novelty_three_shuffles_and_equi_join(spark, sf_dir):
+    """Novelty = corpus count agg (1 exchange) ⋈ gram stream (1 exchange)
+    + per-doc agg (1 exchange). More means the gram fan-out re-shuffled;
+    a non-equi join here would be quadratic in grams."""
+    from mini_project_big_data_analysis_spark.queries.ext_audit_q import (
+        ext_ngram_novelty,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = checks.explain_str(ext_ngram_novelty(spark, sf_dir))
+        assert _n_exchanges(plan) <= 3, plan
+        # equi join required; at test SF the counts side is small enough to
+        # broadcast, at scale it shuffles — both are the equi-hash family
+        assert any(
+            j in plan
+            for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        ), plan
+        assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_intersect_all_aggregates_before_join(spark, sf_dir):
+    """INTERSECT ALL must plan as per-side count aggregates + a key join —
+    duplicate raw rows never cross the wire individually."""
+    from mini_project_big_data_analysis_spark.queries.joins_q import (
+        setop_intersect_all,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = checks.explain_str(setop_intersect_all(spark, sf_dir))
+        assert "HashAggregate" in plan, plan
+        assert "Generate" in plan or "Expand" in plan or "replicate" in plan.lower(), plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
