@@ -812,3 +812,130 @@ def run_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         "value",
     )
+
+
+def tws_available() -> bool:
+    """Spark 4's transformWithStateInPandas drives its state server over
+    protobuf; this container ships pyspark without a working
+    ``google.protobuf`` (and installs are out of scope), so the API is
+    feature-gated: ``run_tws_dedup`` is registered as a query id only where
+    this returns True (it is a skip-guarded test otherwise)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → exactly-once dedup on the NEW Spark 4 arbitrary-state
+    API (``transformWithStateInPandas`` — the successor to
+    applyInPandasWithState, RocksDB-backed, typed state handles): per-user
+    ListState of seen event_ids suppresses redelivered rows across
+    micro-batches. The input replays every tenth event in a second batch —
+    the at-least-once delivery the reference's consumer exhibits on restart
+    (consumer.py:21-23 auto-commit) — and the sink must contain every event
+    EXACTLY once.
+
+    Gated by ``tws_available()`` (the API needs google.protobuf in the
+    Python workers — absent in this container, present on any standard
+    cluster image).
+
+    STRONG oracle: the deduped stream equals the plain distinct event log,
+    independent of batch scheduling. State is the per-user id list on the
+    key's shuffle partition, checkpointed by the RocksDB provider — at
+    cluster scale this is Spark's own streaming-dedup posture
+    (dropDuplicates compiles to the same keyed-state shape); the explicit
+    processor is the template for policies dropDuplicates can't express
+    (TTLs, dedup-by-similarity, audit side-outputs).
+    """
+    import glob
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from ..sources.readers import read_table
+
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    base = os.path.join(tempfile.gettempdir(), "mpbda_stream_in", name)
+    indir = os.path.join(base, "in")
+    os.makedirs(indir)
+    cols = ["event_id", "ts", "user_id", "value"]
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(cols)
+    )
+    now = _time.time()
+    pieces = [ev, ev.filter(F.col("event_id") % 10 == 0)]  # batch 2 = replay
+    for i, piece in enumerate(pieces):
+        tmp = os.path.join(base, "tmp")
+        piece.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(indir, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 500 + i * 100,) * 2)
+
+    class DedupProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getListState("seen", "id BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen = {r.id for r in self._seen.get()}
+            fresh = []
+            for pdf in rows:
+                mask = ~pdf["event_id"].isin(seen)
+                # also drop dups WITHIN the batch deterministically
+                mask &= ~pdf["event_id"].duplicated()
+                out = pdf[mask]
+                if len(out):
+                    fresh.extend(int(x) for x in out["event_id"])
+                    yield pd.DataFrame(
+                        {
+                            "event_id": out["event_id"],
+                            "user_id": out["user_id"],
+                            "ts_s": out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                            "value": out["value"],
+                        }
+                    )
+            if fresh:
+                self._seen.appendList([(i,) for i in fresh])
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    deduped = src.groupBy("user_id").transformWithStateInPandas(
+        DedupProcessor(),
+        outputStructType="event_id long, user_id long, ts_s string, value double",
+        outputMode="append",
+        timeMode="none",
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

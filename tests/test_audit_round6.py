@@ -164,3 +164,26 @@ def test_foreachbatch_upsert_is_one_row_per_user(spark, sf_dir):
     df = REGISTRY["stream_foreachbatch_upsert"].fn(spark, sf_dir)
     dups = df.groupBy("user_id").count().filter("count > 1").count()
     assert dups == 0  # MERGE keyed on user: store holds exactly one row/key
+
+
+def test_containment_catches_asymmetric_dups(spark, sf_dir):
+    rows = REGISTRY["ext_dedup_containment"].fn(spark, sf_dir).collect()
+    # dup-heavy fixture: the prefix-sharing docs must surface as pairs
+    assert rows
+    assert all(0.5 <= r.containment <= 1.0 for r in rows)
+    assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_tws_dedup_when_protobuf_available(spark, sf_dir):
+    """transformWithStateInPandas needs google.protobuf in the workers —
+    absent in this container, so the exactly-once check runs wherever the
+    dependency exists (any standard cluster image)."""
+    from mini_project_big_data_analysis_spark.streaming.pipeline import (
+        run_tws_dedup,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf not importable: TWS API unavailable here")
+    got = run_tws_dedup(spark, sf_dir)
+    assert got.groupBy("event_id").count().filter("count > 1").count() == 0
