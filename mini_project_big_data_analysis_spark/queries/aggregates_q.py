@@ -363,3 +363,32 @@ def agg_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geomean("value"), 6).alias("geomean"),
         n_rows("value").alias("n"),
     )
+
+
+@register(
+    "agg_listagg",
+    """
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg (new in Spark 4) — ordered string concatenation per group,
+    the ANSI WITHIN GROUP form (DuckDB spells it string_agg ... ORDER BY).
+    The deterministic ORDER BY inside the aggregate is the point: without
+    it distributed concatenation order is partition-dependent and the
+    result non-reproducible. Plan: broadcast dim join + one hash-agg whose
+    buffer is the collected list — bounded by group fan-in (25 nations),
+    the same bound any collect_list carries."""
+    for t in ("region", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )

@@ -385,3 +385,32 @@ def fn_map_wordcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.try_element_at("wc", F.lit("table")), F.lit(0)).alias("n_table"),
         F.coalesce(F.try_element_at("wc", F.lit("value")), F.lit(0)).alias("n_value"),
     )
+
+
+@register(
+    "fn_variant_json",
+    """
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT)  AS k,
+           props->>'$.k'                  AS k_str
+    FROM events
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT type (semi-structured data without a declared
+    schema — the OPEN alternative to stringly-typed JSON columns):
+    ``parse_json`` ingests the payload once into the binary variant
+    encoding, then ``variant_get`` extracts typed paths with per-path
+    casts. Unlike from_json there is no up-front struct schema — the shape
+    the consumer's schemaless JSON (consumer.py:24) actually has.
+
+    Scale note: variant decode + path access are codegen'd columnar ops on
+    the binary encoding (no per-row JSON re-parse per path, which the
+    ->> twice-over string form pays). Oracle: DuckDB's JSON path
+    extraction over the same payloads."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
+    )

@@ -545,3 +545,29 @@ def src_jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .filter(F.col("c_acctbal") > 1000)
     )
+
+
+@register(
+    "src_xml_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source/sink (spark-xml graduated into Spark 4 core): the
+    nation dim is written as row-tagged XML and read back with an explicit
+    schema — the feed format half of enterprise ingest still arrives in.
+    The oracle is the identity: a lossless round-trip IS the check.
+    Distributed shape identical to the csv/text round-trips (one task per
+    file split on read; rowTag framing is splittable on write)."""
+    out = os.path.join(
+        tempfile.gettempdir(), "mpbda_spark_sink", f"xml_{uuid.uuid4().hex}"
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.format("xml").option("rowTag", "nation").save(out)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .load(out)
+    )

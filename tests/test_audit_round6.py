@@ -187,3 +187,20 @@ def test_tws_dedup_when_protobuf_available(spark, sf_dir):
         pytest.skip("google.protobuf not importable: TWS API unavailable here")
     got = run_tws_dedup(spark, sf_dir)
     assert got.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+ROUND6_BATCH3_IDS = ["fn_variant_json", "agg_listagg", "src_xml_roundtrip"]
+
+
+@pytest.mark.parametrize("qid", ROUND6_BATCH3_IDS)
+def test_round6_batch3_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_listagg_is_order_deterministic(spark, sf_dir):
+    rows = {r.r_name: r.nations for r in REGISTRY["agg_listagg"].fn(spark, sf_dir).collect()}
+    for nations in rows.values():
+        parts = nations.split(",")
+        assert parts == sorted(parts)  # WITHIN GROUP (ORDER BY) honored
