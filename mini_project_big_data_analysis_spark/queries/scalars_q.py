@@ -414,3 +414,49 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
         F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
     )
+
+
+_UDTF_ORACLE = """
+WITH sents AS (
+    SELECT doc_id, string_split(text, '. ') AS s FROM documents
+)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS sent_idx,
+       s[i]               AS sentence
+FROM sents, unnest(generate_series(1, len(s))) u(i)
+"""
+
+
+@register("fn_udtf_sentences", _UDTF_ORACLE)
+def fn_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function — completes the
+    UDF/UDAF/UDTF surface next to agg_udaf_geomean and the pandas_udf
+    scalar tier): one input doc row fans out to (sent_idx, sentence) rows
+    through a LATERAL correlated call. The split rule is a literal '. '
+    so DuckDB's non-regex string_split mirrors it exactly.
+
+    Engine policy note (SURVEY §2.10): built-in posexplode(split(...))
+    expresses THIS particular fan-out natively and stays in codegen —
+    sql_lateral_view is that form. The UDTF exists as the tested template
+    for generators with real per-row logic (sentence segmenters, parsers,
+    tokenizers) that no built-in covers; per-row Python cost is the
+    documented price, and the generator still runs data-parallel inside
+    the scan stage with no shuffle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx INT, sentence STRING")
+    class SplitSentences:
+        def eval(self, text: str):  # noqa: ANN001 - Spark calls per row
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM documents d, LATERAL split_sentences(d.text) s
+        """
+    )

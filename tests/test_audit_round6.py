@@ -204,3 +204,9 @@ def test_listagg_is_order_deterministic(spark, sf_dir):
     for nations in rows.values():
         parts = nations.split(",")
         assert parts == sorted(parts)  # WITHIN GROUP (ORDER BY) honored
+
+
+def test_udtf_sentences_match_python_split(spark, sf_dir, duck):
+    q = REGISTRY["fn_udtf_sentences"]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, msg
