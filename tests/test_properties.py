@@ -71,3 +71,21 @@ def test_hash_split_assignment_depends_only_on_id(spark, ids):
     half = spark.createDataFrame([(i,) for i in half_ids], "doc_id long").repartition(3)
     sub = {r.doc_id: r.split for r in hash_split(half, weights).collect()}
     assert all(whole[i] == sub[i] for i in half_ids)
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120))
+def test_bpe_pretokenizer_partitions_every_non_separator_char(text):
+    """ext_token_regex_count's pattern must PARTITION the input: every char
+    that is not one of the four declared separators (space, tab, newline,
+    CR) belongs to exactly one match — so the concatenated matches equal
+    the input with separators deleted. This is the completeness property
+    that makes the count a true token budget (nothing silently dropped),
+    and it holds for arbitrary unicode because the final alternative is a
+    negated class."""
+    import re
+
+    from mini_project_big_data_analysis_spark.queries.ext_audit_q import _BPE_PAT
+
+    matches = re.findall(_BPE_PAT, text)
+    stripped = "".join(c for c in text if c not in " \t\n\r")
+    assert "".join(matches) == stripped
