@@ -38,3 +38,13 @@ def test_rotation_window_ids_are_registered():
     assert len(window) == len(set(window)), "duplicate ids in rotation window"
     missing = [q for q in window if q not in registry]
     assert not missing, f"rotation window names unregistered ids: {missing}"
+
+
+def test_survey_lists_every_registered_id():
+    import re
+
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    survey = set(re.findall(r"`([a-z0-9_]+)`", (ROOT / "SURVEY.md").read_text()))
+    missing = sorted(set(all_queries()) - survey)
+    assert not missing, f"registered ids absent from SURVEY.md §2: {missing}"
