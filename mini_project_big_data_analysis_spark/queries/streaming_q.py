@@ -1,10 +1,11 @@
 """Streaming query registrations (SURVEY.md §2.8).
 
 ``stream_tumbling_agg`` executes the real Structured Streaming machinery
-(file source → watermark → windowed state → memory sink, Trigger.AvailableNow)
-— rows-only by the driver contract (DuckDB cannot mirror a stream), but its
-batch twin ``agg_time_window`` (aggregates_q.py) IS oracle-checked on the
-same data, which pins the window semantics.
+(file source → watermark → windowed state → memory sink, Trigger.AvailableNow).
+Registered rows-only through round 5 on the assumption that streams have no
+SQL oracle; upgraded in round 6 — complete-mode output over availableNow's
+deterministic input IS the batch hourly aggregate, so the stream run now
+hash-checks against DuckDB like its batch twin ``agg_time_window``.
 """
 
 from __future__ import annotations
@@ -15,12 +16,28 @@ from pyspark.sql import functions as F
 from .base import register
 
 
-@register("stream_tumbling_agg", None)  # rows-only: streams have no SQL oracle
+@register(
+    "stream_tumbling_agg",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           round(avg(value), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           count(*) AS n_events
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the event stream (the dashboard's
     5-minute recompute loop, app.py:80-84,101, done incrementally).
     Runs to completion with Trigger.AvailableNow and returns the
-    materialized memory-sink table."""
+    materialized memory-sink table. STRONG oracle (round-6 upgrade):
+    complete mode + a single deterministic batch ⇒ the sink must equal
+    the batch hourly aggregate exactly — lost state between triggers or a
+    mis-merged window breaks the hash."""
     from ..streaming.pipeline import run_tumbling_agg_availablenow
 
     return run_tumbling_agg_availablenow(spark, sf_dir)
