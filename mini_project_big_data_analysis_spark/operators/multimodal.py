@@ -152,3 +152,50 @@ def sample_chunks(media: DataFrame, chunk_bytes: int = 256) -> DataFrame:
             )
 
     return media.select("doc_id", "payload").mapInPandas(batches, CHUNK_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, every: int = 4
+) -> DataFrame:
+    """Frame sampling over binary payloads via mapInPandas: treat the
+    payload as fixed-size frames (a real video UDF decodes and samples
+    keyframes; the container has no codecs, so the frame grid is the
+    deterministic stand-in) and keep every ``every``-th frame with its
+    digest. The Arrow batch shape, schema, and partitioning are exactly
+    what the codec-backed version uses — swap the per-row body, keep the
+    plan."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, lens, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, (len(b) + frame_bytes - 1) // frame_bytes):
+                    if i % every:
+                        continue
+                    frame = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(frame))
+                    hashes.append(hashlib.md5(frame).hexdigest()[:16])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)

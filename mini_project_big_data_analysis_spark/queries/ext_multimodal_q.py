@@ -111,3 +111,40 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_binary_payload(load(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+_FRAMES_ORACLE = """
+WITH base AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS nb
+    FROM documents WHERE octet_length(encode(text)) > 0
+), expanded AS (
+    SELECT doc_id, text, nb,
+           unnest(generate_series(0, CAST(ceil(nb / 256.0) AS BIGINT) - 1))
+               AS frame_idx
+    FROM base
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT)                          AS frame_idx,
+       CAST(least(256, nb - frame_idx * 256) AS INT)   AS frame_len,
+       substr(md5(substr(text, frame_idx * 256 + 1, 256)), 1, 16) AS frame_hash
+FROM expanded
+WHERE frame_idx % 4 = 0
+"""
+
+
+@register("ext_multimodal_framesample", _FRAMES_ORACLE)
+def ext_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (the video keyframe-extraction shape): payloads are
+    gridded into 256-byte frames and every 4th frame is kept with its
+    digest, via the real mapInPandas Arrow plumbing
+    (operators/multimodal.py:sample_frames). STRONG byte-level oracle:
+    the corpus is ASCII so DuckDB's char-substr md5 reproduces each
+    frame's digest exactly.
+
+    Scale shape: row-local fan-out inside the scan stage (no shuffle at
+    all); sampled frames carry 16-char digests + 2 ints, so downstream
+    dedup/indexing never moves the payload."""
+    from ..operators.multimodal import attach_binary_payload, sample_frames
+
+    media = attach_binary_payload(load(spark, sf_dir, "documents"))
+    return sample_frames(media.filter(F.octet_length("payload") > 0))

@@ -210,3 +210,12 @@ def test_udtf_sentences_match_python_split(spark, sf_dir, duck):
     q = REGISTRY["fn_udtf_sentences"]
     ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
     assert ok, msg
+
+
+def test_framesample_keeps_every_fourth_frame(spark, sf_dir, duck):
+    q = REGISTRY["ext_multimodal_framesample"]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, msg
+    rows = q.fn(spark, sf_dir).collect()
+    assert all(r.frame_idx % 4 == 0 for r in rows)
+    assert all(1 <= r.frame_len <= 256 for r in rows)
