@@ -199,3 +199,44 @@ def sample_frames(
             )
 
     return media.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.IntegerType()),
+        T.StructField("resized_bytes", T.IntegerType()),
+        T.StructField("resized_hash", T.StringType()),
+    ]
+)
+
+
+def resize_payloads(media: DataFrame, stride: int = 8) -> DataFrame:
+    """Resize/downsample over binary payloads via mapInPandas: keep every
+    ``stride``-th byte (a real image UDF decodes and bilinear-resizes to a
+    fixed raster; byte-stride decimation is the codec-free stand-in with
+    the same contract — output size ~ input/stride, content a deterministic
+    function of the payload). Emits sizes plus the digest of the reduced
+    payload so correctness pins bytes, not just lengths."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, orig, rs, hs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                small = b[::stride]
+                ids.append(doc_id)
+                orig.append(len(b))
+                rs.append(len(small))
+                hs.append(hashlib.md5(small).hexdigest()[:16])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "orig_bytes": pd.Series(orig, dtype="int32"),
+                    "resized_bytes": pd.Series(rs, dtype="int32"),
+                    "resized_hash": pd.Series(hs, dtype="object"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, RESIZE_SCHEMA)

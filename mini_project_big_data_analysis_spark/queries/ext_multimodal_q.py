@@ -148,3 +148,38 @@ def ext_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_binary_payload(load(spark, sf_dir, "documents"))
     return sample_frames(media.filter(F.octet_length("payload") > 0))
+
+
+_RESIZE_ORACLE = """
+WITH strided AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS orig_bytes,
+           -- every 8th char starting at 1 (ASCII corpus: char == byte)
+           string_agg(substr(text, i, 1), '' ORDER BY i) AS small
+    FROM documents,
+         unnest(generate_series(1, octet_length(encode(text)), 8)) u(i)
+    GROUP BY doc_id, text
+)
+SELECT doc_id,
+       CAST(orig_bytes AS INT)          AS orig_bytes,
+       CAST(length(small) AS INT)       AS resized_bytes,
+       substr(md5(small), 1, 16)        AS resized_hash
+FROM strided
+"""
+
+
+@register("ext_multimodal_resize", _RESIZE_ORACLE)
+def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample over binary payloads (the image-thumbnail shape):
+    every 8th byte kept, size + digest of the reduced payload emitted, via
+    the real mapInPandas Arrow plumbing
+    (operators/multimodal.py:resize_payloads — a codec swaps in for the
+    byte decimation, plan unchanged). STRONG byte-level oracle: the ASCII
+    corpus lets DuckDB rebuild the strided string and md5 it.
+
+    Scale shape: row-local, zero shuffle; the reduced payload is 1/8 the
+    bytes and only its digest + sizes leave the scan stage."""
+    from ..operators.multimodal import attach_binary_payload, resize_payloads
+
+    media = attach_binary_payload(load(spark, sf_dir, "documents"))
+    return resize_payloads(media)

@@ -219,3 +219,13 @@ def test_framesample_keeps_every_fourth_frame(spark, sf_dir, duck):
     rows = q.fn(spark, sf_dir).collect()
     assert all(r.frame_idx % 4 == 0 for r in rows)
     assert all(1 <= r.frame_len <= 256 for r in rows)
+
+
+def test_resize_decimates_by_eight(spark, sf_dir, duck):
+    q = REGISTRY["ext_multimodal_resize"]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, msg
+    rows = q.fn(spark, sf_dir).collect()
+    import math
+
+    assert all(r.resized_bytes == math.ceil(r.orig_bytes / 8) for r in rows)
