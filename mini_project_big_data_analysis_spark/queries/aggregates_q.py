@@ -392,3 +392,34 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.r_name
         """
     )
+
+
+@register(
+    "agg_filter_clause",
+    """
+    SELECT event_type,
+           count(*)                                        AS n_all,
+           count(*) FILTER (WHERE value > 50)              AS n_high,
+           round(avg(value) FILTER (WHERE value > 50), 6)  AS avg_high,
+           count(*) FILTER (WHERE value IS NULL)           AS n_null
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI FILTER clause — per-aggregate predicates in one pass (the
+    declarative form of conditional aggregation; Catalyst lowers both
+    spellings to the same single partial→final hash aggregate, so N
+    filtered metrics never mean N scans)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*)                                        AS n_all,
+               count(*) FILTER (WHERE value > 50)              AS n_high,
+               round(avg(value) FILTER (WHERE value > 50), 6)  AS avg_high,
+               count(*) FILTER (WHERE value IS NULL)           AS n_null
+        FROM events
+        GROUP BY event_type
+        """
+    )

@@ -264,3 +264,32 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = li.filter(F.col("l_quantity") < 10).select(F.col("l_suppkey").alias("id"))
     hi = li.filter(F.col("l_quantity") > 40).select(F.col("l_suppkey").alias("id"))
     return lo.intersectAll(hi)
+
+
+@register(
+    "join_null_safe",
+    """
+    SELECT n.n_name, r.r_name
+    FROM (SELECT n_name, nullif(n_regionkey, 2) AS k FROM nation) n
+    JOIN (SELECT r_name, nullif(r_regionkey, 2) AS k FROM region) r
+      ON n.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark `<=>`, ANSI IS NOT DISTINCT FROM):
+    NULL keys MATCH each other instead of dropping out — the semantics
+    dimension merges need when 'unknown' is a real category. Still an
+    equi-join to Catalyst (hash on the null-safe key), so it broadcasts /
+    shuffles like any other equi join; the scale caveat is that ALL
+    null-key rows share one hash bucket — at volume, null-heavy sides get
+    the skew treatment (salt or isolate the NULL partition), here the dims
+    are tiny."""
+    nation = load(spark, sf_dir, "nation").select(
+        "n_name", F.nullif(F.col("n_regionkey"), F.lit(2)).alias("k")
+    )
+    region = load(spark, sf_dir, "region").select(
+        "r_name", F.nullif(F.col("r_regionkey"), F.lit(2)).alias("k")
+    )
+    return nation.join(region, nation.k.eqNullSafe(region.k)).select(
+        "n_name", "r_name"
+    )

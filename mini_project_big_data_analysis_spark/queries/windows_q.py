@@ -288,3 +288,44 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
     ).select("user_id", F.col("island_id").cast("long").alias("island_id"),
              "island_start", "island_end", "n_events")
+
+
+@register(
+    "window_running_distinct",
+    """
+    SELECT event_id,
+           event_type,
+           count(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS n_users_so_far
+    FROM events
+    WHERE ts IS NOT NULL
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per event type — Spark has no
+    count(DISTINCT) over a window, so the SCALABLE formulation is the
+    first-seen trick: flag each (type, user)'s first row via row_number,
+    then running-sum the flags. State per window is one counter, not the
+    distinct set (the collect_set-over-window spelling holds the whole set
+    per row and dies at volume). DuckDB's NATIVE distinct-window aggregate
+    is the oracle — two genuinely independent implementations must agree
+    row-for-row."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    first_seen = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    running = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "first_flag",
+            F.when(F.row_number().over(first_seen) == 1, 1).otherwise(0),
+        )
+        .withColumn("n_users_so_far", F.sum("first_flag").over(running))
+        .select("event_id", "event_type", "n_users_so_far")
+    )

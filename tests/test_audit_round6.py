@@ -229,3 +229,20 @@ def test_resize_decimates_by_eight(spark, sf_dir, duck):
     import math
 
     assert all(r.resized_bytes == math.ceil(r.orig_bytes / 8) for r in rows)
+
+
+ROUND6_BATCH4_IDS = ["join_null_safe", "agg_filter_clause", "window_running_distinct"]
+
+
+@pytest.mark.parametrize("qid", ROUND6_BATCH4_IDS)
+def test_round6_batch4_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_null_safe_join_matches_null_to_null(spark, sf_dir):
+    rows = REGISTRY["join_null_safe"].fn(spark, sf_dir).collect()
+    # region 2 is NULLed on both sides: its nations must still pair with
+    # the NULLed region row (the <=> semantics), so all 25 nations appear
+    assert len(rows) == 25
