@@ -25,6 +25,7 @@ from . import ext_corpus_q  # noqa: F401,E402
 from . import ext_mining_q  # noqa: F401,E402
 from . import ext_product_q  # noqa: F401,E402
 from . import ext_audit_q  # noqa: F401,E402
+from . import ext_timeseries_q  # noqa: F401,E402
 
 
 def all_queries() -> dict[str, Query]:

@@ -347,3 +347,67 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+_DQ_ORACLE = """
+WITH a AS (
+    SELECT count(*)::DOUBLE AS n_rows,
+           count(o_custkey)::DOUBLE AS n_cust,
+           count(DISTINCT o_orderkey)::DOUBLE AS n_keys,
+           sum(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END)::DOUBLE AS n_nonneg,
+           sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)::DOUBLE
+               AS n_dom
+    FROM orders
+)
+SELECT 'completeness_custkey' AS rule, round(n_cust / n_rows, 6) AS metric,
+       n_cust / n_rows >= 0.99 AS passed FROM a
+UNION ALL
+SELECT 'uniqueness_orderkey', round(n_keys / n_rows, 6),
+       n_keys / n_rows >= 1.0 FROM a
+UNION ALL
+SELECT 'nonneg_totalprice', round(n_nonneg / n_rows, 6),
+       n_nonneg / n_rows >= 1.0 FROM a
+UNION ALL
+SELECT 'domain_orderstatus', round(n_dom / n_rows, 6),
+       n_dom / n_rows >= 1.0 FROM a
+UNION ALL
+SELECT 'min_row_count', n_rows, n_rows >= 1000 FROM a
+"""
+
+
+@register("ext_dq_rules", _DQ_ORACLE)
+def ext_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ/Great-
+    Expectations shape): five rules over the orders table — column
+    completeness, key uniqueness, value-range share, categorical domain
+    share, minimum row count — each reported as (rule, metric, passed).
+
+    Scale shape: ALL rule metrics come from ONE full-scan aggregation (the
+    Deequ trick — distributive/algebraic sketches share a single pass):
+    counts and conditional sums collapse map-side; the only non-trivial
+    metric, count(DISTINCT o_orderkey), Catalyst expands into the standard
+    two-phase distinct-agg over the same shuffle. The 1-row result then
+    fans out into rule rows via ``stack`` — driver cost is five literals.
+    Checks run where the data is; nothing but verdict rows leaves the
+    executors."""
+    o = load(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        F.count("o_custkey").cast("double").alias("n_cust"),
+        F.countDistinct("o_orderkey").cast("double").alias("n_keys"),
+        F.sum(F.when(F.col("o_totalprice") >= 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n_nonneg"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+        .cast("double")
+        .alias("n_dom"),
+    )
+    return a.selectExpr(
+        "stack(5, "
+        "'completeness_custkey', round(n_cust / n_rows, 6), n_cust / n_rows >= 0.99, "
+        "'uniqueness_orderkey', round(n_keys / n_rows, 6), n_keys / n_rows >= 1.0, "
+        "'nonneg_totalprice', round(n_nonneg / n_rows, 6), n_nonneg / n_rows >= 1.0, "
+        "'domain_orderstatus', round(n_dom / n_rows, 6), n_dom / n_rows >= 1.0, "
+        "'min_row_count', n_rows, n_rows >= 1000.0"
+        ") AS (rule, metric, passed)"
+    )

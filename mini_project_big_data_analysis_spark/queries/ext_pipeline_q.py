@@ -236,3 +236,66 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < 50),
         k=5,
     )
+
+
+_COMPACT_TARGET = 4096  # target compacted object size, in n_chars units
+
+_COMPACT_ORACLE = f"""
+WITH f AS (
+    SELECT source, doc_id, n_chars,
+           coalesce(sum(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM documents
+)
+SELECT source,
+       (cum_before // {_COMPACT_TARGET})::BIGINT AS bin_id,
+       count(*)::BIGINT AS n_files,
+       sum(n_chars)::BIGINT AS bin_bytes
+FROM f
+GROUP BY source, (cum_before // {_COMPACT_TARGET})::BIGINT
+"""
+
+
+@register("ext_compaction_bins", _COMPACT_ORACLE)
+def ext_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planner: pack each source partition's files (docs stand
+    in for data files, n_chars for bytes) into ~4 KiB output bins by
+    running-size bin assignment — the OPTIMIZE/rewrite_data_files planning
+    step that fixes the small-files problem before scans pay per-file open
+    cost.
+
+    The assignment is the streaming greedy rule (bin = floor(bytes-before /
+    target) over a deterministic file order), which both engines express as
+    one window cumsum — integer arithmetic, exactly mirrorable, no RNG bin
+    packing. Scale shape: ONE shuffle on the partition key drives both the
+    window and the final (source, bin) re-aggregation (same partitioning,
+    no second exchange of the wide rows); planning output is bin manifests
+    — file counts and sizes — never file contents. A real lakehouse table
+    runs this per partition in parallel exactly like this, then hands each
+    bin row to a rewrite task."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        f.withColumn(
+            "bin_id", F.floor(F.col("cum_before") / _COMPACT_TARGET).cast("long")
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").alias("bin_bytes"),
+        )
+    )

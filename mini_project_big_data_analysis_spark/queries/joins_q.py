@@ -293,3 +293,62 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.join(region, nation.k.eqNullSafe(region.k)).select(
         "n_name", "r_name"
     )
+
+
+_SALT_N = 8
+
+_SKEW_SALT_ORACLE = """
+WITH dim AS (
+    SELECT DISTINCT event_type,
+           length(event_type)::BIGINT AS type_weight
+    FROM events
+)
+SELECT e.event_type,
+       count(*)::BIGINT AS n,
+       round(sum(e.value * d.type_weight), 6) AS weighted_sum
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@register("join_skew_salt", _SKEW_SALT_ORACLE)
+def join_skew_salt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: the fact side keys on event_type (5 distinct
+    values — at 100 TB each key is a partition-crushing hot spot for a
+    shuffle join), so the dim side is EXPLODED 8× with a salt column and
+    each fact row picks one salt by a row-local hash. The join key becomes
+    (event_type, salt): every hot key spreads over 8 reducers, and the
+    post-join aggregate restores exact plain-join semantics — the oracle
+    is the UNSALTED join, which is the whole point. Salting is the manual
+    fallback when AQE's skew splitter can't apply (e.g. the skewed side
+    feeds a co-partitioned downstream op); the salt fan-out costs only
+    |dim|×8 rows. The salt hash needs no cross-engine mirror because it
+    never reaches the output."""
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.length("event_type").cast("long").alias("type_weight"),
+        )
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1)))
+    )
+    fact = ev.withColumn(
+        "salt",
+        F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(_SALT_N)).cast(
+            "int"
+        ),
+    )
+    return (
+        fact.join(dim_salted, ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value") * F.col("type_weight")), 6).alias(
+                "weighted_sum"
+            ),
+        )
+    )

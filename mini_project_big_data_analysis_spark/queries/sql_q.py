@@ -352,3 +352,35 @@ def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING count(*) >= 50
         """
     )
+
+
+_GBA_ORACLE = """
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_s,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+"""
+
+
+@register("sql_groupby_all", _GBA_ORACLE)
+def sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (ANSI-adopted convenience, in Spark since 3.4): every
+    non-aggregate select item becomes a grouping key — the ad-hoc analytics
+    dialect surface that kills the duplicate-expression drift between the
+    SELECT list and the GROUP BY list. Resolution happens entirely at
+    analysis time: the plan is the identical partial→final hash aggregate
+    (one shuffle on (type, day)) as the spelled-out form, which is exactly
+    how the oracle states it."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day_s,
+               count(*) AS n,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        GROUP BY ALL
+        """
+    )

