@@ -423,3 +423,40 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+_BITMAP_ORACLE = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_bitmap_distinct", _BITMAP_ORACLE)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user counts via bitmap aggregation (the Doris/
+    ClickHouse bitmap pattern, in Spark since 3.5): ids map to a (bucket,
+    bit) address, per-(key, bucket) groups OR their bits into a fixed 4 KB
+    bitmap, and the final count is the sum of per-bucket popcounts.
+
+    Why over count(DISTINCT): the bitmap partial is MERGEABLE — the first
+    shuffle carries ≤4 KB bitmaps per (key, bucket) instead of every
+    distinct id (Spark's distinct-agg expansion), and the same partials
+    serve incremental refresh (OR yesterday's bitmap with today's) where
+    count(DISTINCT) must rescan. Exact, unlike HLL (agg_hll_user_sketch);
+    cost is id-space density — popcount space is bucketed 32 K-bit chunks,
+    so sparse 64-bit id spaces want a dictionary-encode first. The oracle
+    is the plain distinct count the bitmaps must reproduce exactly."""
+    ev = load(spark, sf_dir, "events")
+    lvl1 = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return (
+        lvl1.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+    )

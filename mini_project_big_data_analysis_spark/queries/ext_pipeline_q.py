@@ -299,3 +299,54 @@ def ext_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("bin_bytes"),
         )
     )
+
+
+_IMV_ORACLE = """
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_s,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM events
+GROUP BY event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+"""
+
+
+@register("ext_incremental_view", _IMV_ORACLE)
+def ext_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily (type, day)
+    metrics view is maintained as ALGEBRAIC PARTIALS — (sum, count), from
+    which avg derives — so a new delta batch folds in by merging partials,
+    never rescanning the base. Here the log is split at Jan 15 into a
+    'yesterday's view state' leg and a 'today's delta' leg, each
+    pre-aggregated independently, then merged by one partial-sum re-agg;
+    the oracle is the full recompute, which the merge must equal exactly —
+    the associativity contract that makes lambda/streaming view upkeep
+    valid. Scale shape: both legs collapse map-side before their shuffle;
+    the merge re-agg runs on view-grain rows (days × types), not events;
+    at 100 TB the base leg is the stored view — only the delta is read at
+    all, which is the entire point."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_s"),
+        "value",
+        "ts",
+    )
+    cut = "2024-01-15"
+    partial = lambda df: df.groupBy("event_type", "day_s").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("ps")
+    )
+    base = partial(ev.filter(F.col("ts") < cut))
+    delta = partial(ev.filter(F.col("ts") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "day_s")
+        .agg(F.sum("pn").alias("n_events"), F.sum("ps").alias("s"))
+        .select(
+            "event_type",
+            "day_s",
+            "n_events",
+            F.round("s", 6).alias("sum_value"),
+            F.round(F.col("s") / F.col("n_events"), 6).alias("avg_value"),
+        )
+    )

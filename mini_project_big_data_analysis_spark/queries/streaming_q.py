@@ -323,3 +323,79 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_foreachbatch_upsert
 
     return run_foreachbatch_upsert(spark, sf_dir)
+
+
+@register(
+    "stream_sliding_agg",
+    """
+    WITH e AS (
+        SELECT ts, event_type, value FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    ), w AS (
+        SELECT date_trunc('hour', ts) - (k * INTERVAL 1 HOUR) AS wstart,
+               event_type, value
+        FROM e, unnest([0, 1]) u(k)
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregate (2 h window, 1 h slide): every
+    event contributes to exactly TWO overlapping windows, so the state
+    store carries duration/slide open aggregates per key — the overlap
+    factor is the state multiplier the watermark bounds. STRONG oracle:
+    complete mode over availableNow's deterministic input must equal the
+    batch form, which DuckDB states directly as each row fanned out to its
+    two hour-aligned window starts (Spark aligns sliding windows to the
+    epoch, so for 2h/1h those starts are trunc_hour(ts) and
+    trunc_hour(ts) − 1 h)."""
+    from ..streaming.pipeline import run_sliding_agg_availablenow
+
+    return run_sliding_agg_availablenow(spark, sf_dir)
+
+
+@register(
+    "stream_session_agg",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    ), ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN date_trunc('microseconds', ts)
+                         - lag(date_trunc('microseconds', ts))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY date_trunc('microseconds', ts), event_id)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+    ), islands AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id
+                              ORDER BY date_trunc('microseconds', ts)
+                              ROWS UNBOUNDED PRECEDING) AS sess
+        FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM islands
+    GROUP BY user_id, sess
+    """,
+)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows ON THE STREAM: ``session_window`` keyed state merges
+    each user's events whose inactivity gap is under 30 minutes, including
+    merging two open sessions that a bridging out-of-order event joins —
+    incremental state doing what the batch twin (agg_session_window) does
+    with a sort. STRONG oracle: the deterministic availableNow run's
+    complete-mode sink must hash-equal the batch gap-islands sessionization
+    (same clean filter); a split or unmerged session breaks it."""
+    from ..streaming.pipeline import run_session_agg_availablenow
+
+    return run_session_agg_availablenow(spark, sf_dir)

@@ -939,3 +939,83 @@ def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_sliding_agg_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming SLIDING-window aggregate (2 h window, 1 h slide) run to
+    completion with Trigger.AvailableNow: every event lands in exactly two
+    overlapping windows, so window state holds two open aggregates per
+    (offset, type) instead of one — the overlap factor (duration/slide) is
+    the state-size multiplier, which is why production slides are kept
+    coarse. Complete-mode memory sink for the same reason as
+    run_tumbling_agg_availablenow: the result is one row per (window, type),
+    bounded; at real cardinality the append-mode foreachBatch form keeps
+    emission executor-side."""
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
+    agg = (
+        clean_event_stream(read_events_stream(spark, sf_dir))
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(F.window("event_time", "2 hours", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def run_session_agg_availablenow(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Streaming SESSION-window aggregate: ``session_window`` merges
+    per-user events whose inactivity gap is under 30 minutes — the state
+    store keeps one open session per user and MERGES sessions that a
+    late/out-of-order event bridges (the operation batch islands do with a
+    window sort; here it is incremental keyed state). Complete mode +
+    AvailableNow over the deterministic fixture makes the materialized
+    sink exactly the batch sessionization, which is what the oracle
+    hash-checks — a dropped merge or split session breaks it."""
+    name = f"session_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
+    agg = (
+        clean_event_stream(read_events_stream(spark, sf_dir))
+        .groupBy(F.session_window("event_time", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.date_format(F.min("event_time"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+        )
+        .select("user_id", "session_start", "n_events", "avg_value")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

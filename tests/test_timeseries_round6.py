@@ -197,3 +197,88 @@ def test_dq_rules_verdicts(spark, sf_dir):
     }
     assert all(r.passed for r in rows.values())
     assert rows["uniqueness_orderkey"].metric == 1.0
+
+
+BATCH4_IDS = [
+    "stream_sliding_agg",
+    "stream_session_agg",
+    "ext_incremental_view",
+    "agg_bitmap_distinct",
+]
+
+
+@pytest.mark.parametrize("qid", BATCH4_IDS)
+def test_batch4_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_sliding_overlap_factor_is_two(spark, sf_dir):
+    """Every event lands in exactly two windows: total sliding n_events =
+    2 × clean row count, and each window covers 2 hours of starts."""
+    out = REGISTRY["stream_sliding_agg"].fn(spark, sf_dir)
+    n_clean = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    )  # fixture has no nulls at sf0.001? count via clean filter instead
+    ev = REGISTRY["stream_clean_sink"].fn(spark, sf_dir).count()
+    assert out.agg(F.sum("n_events")).collect()[0][0] == 2 * ev
+    del n_clean
+
+
+def test_session_stream_equals_batch_twin(spark, sf_dir):
+    """The streaming sessionization must equal the batch session_window
+    computed over the same cleaned input — batch/stream parity at the
+    operator level (not just vs the SQL oracle)."""
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    clean = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts2", F.col("ts"))
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+    )
+    batch = (
+        clean.groupBy(F.session_window("ts2", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.date_format(F.min("ts2"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+        )
+        .select("user_id", "session_start", "n_events", "avg_value")
+    )
+    got = {tuple(r) for r in REGISTRY["stream_session_agg"].fn(spark, sf_dir).collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+
+
+def test_bitmap_partials_merge_like_or(spark):
+    """The mergeability contract: bitmap over A∪B equals popcount of
+    bitmap(A) OR bitmap(B) — the property incremental refresh relies on."""
+    a = spark.range(0, 500).select(F.col("id").alias("user_id"))
+    b = spark.range(250, 700).select(F.col("id").alias("user_id"))
+
+    def bm(df):
+        return (
+            df.select(
+                F.bitmap_bucket_number("user_id").alias("bucket"),
+                F.bitmap_bit_position("user_id").alias("pos"),
+            )
+            .groupBy("bucket")
+            .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        )
+
+    merged = (
+        bm(a)
+        .unionByName(bm(b))
+        .groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")))
+        .collect()[0][0]
+    )
+    assert merged == 700  # |0..699| exactly, overlap not double-counted
