@@ -193,3 +193,72 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.createOrReplaceTempView("events_gs")
     return spark.sql(_GSETS_SQL)
+
+
+_SKYLINE_ORACLE = """
+WITH cust AS (
+    SELECT o_custkey,
+           round(sum(o_totalprice), 6) AS spend,
+           count(*)::BIGINT AS n_orders
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT o_custkey, spend, n_orders,
+           max(n_orders) OVER (
+               ORDER BY spend DESC, n_orders DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_n
+    FROM cust
+)
+SELECT o_custkey, spend, n_orders
+FROM ranked
+WHERE best_n IS NULL OR n_orders > best_n
+"""
+
+
+@register("ext_skyline_pareto", _SKYLINE_ORACLE)
+def ext_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of customers over (total spend, order
+    count): keep each customer no other strictly beats on one dimension
+    while matching the other — the multi-criteria 'best customers' query.
+
+    The naive spelling is the O(n²) dominance anti-join; for two dimensions
+    the classic sort-filter algorithm replaces it with a sort by the first
+    dimension and a running-max filter on the second. An UNPARTITIONED
+    window would drag every row to one task, so this runs the distributive
+    two-phase form: phase 1 computes a LOCAL skyline inside each of 16
+    hash buckets (partitioned window — parallel, and the running-max
+    filter discards almost everything), phase 2 re-runs the same
+    sort-filter globally over only the surviving candidates (≤ per-bucket
+    frontier sizes, tiny). Correct because skyline(S) = skyline(∪ local
+    skylines) — dominance is transitive, so a row dominated globally is
+    dominated by some local survivor. Ties on both dimensions canonicalize
+    to the first customer key, identically in both engines (the strict >
+    sees the earlier twin as already-seen max). Spend is rounded BEFORE
+    ranking so both engines sort the identical doubles; the oracle states
+    the single-pass form, which the two-phase plan must reproduce
+    exactly."""
+    orders = load(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 6).alias("spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    order_cols = [
+        F.col("spend").desc(),
+        F.col("n_orders").desc(),
+        F.col("o_custkey"),
+    ]
+
+    def sort_filter(df: DataFrame, w: Window) -> DataFrame:
+        ranked = df.withColumn(
+            "best_n", F.max("n_orders").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        )
+        return ranked.filter(
+            F.col("best_n").isNull() | (F.col("n_orders") > F.col("best_n"))
+        ).drop("best_n")
+
+    local = sort_filter(
+        cust.withColumn("bucket", F.pmod(F.hash("o_custkey"), F.lit(16))),
+        Window.partitionBy("bucket").orderBy(*order_cols),
+    ).drop("bucket")
+    return sort_filter(local, Window.orderBy(*order_cols)).select(
+        "o_custkey", "spend", "n_orders"
+    )

@@ -460,3 +460,42 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         lvl1.groupBy("event_type")
         .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
     )
+
+
+_HIST_ORACLE = """
+WITH b AS (
+    SELECT event_type,
+           CASE WHEN value IS NULL THEN NULL
+                WHEN value < 0 THEN 0
+                WHEN value >= 10 THEN 11
+                ELSE 1 + floor(value)::BIGINT END AS bucket
+    FROM events
+)
+SELECT event_type, bucket, count(*)::BIGINT AS n
+FROM b WHERE bucket IS NOT NULL
+GROUP BY event_type, bucket
+"""
+
+
+@register("agg_histogram_equiwidth", _HIST_ORACLE)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per event type: ``width_bucket(value, 0, 10,
+    10)`` — 10 interior buckets plus the two ANSI overflow buckets (0 and
+    n+1) — then one (type, bucket) hash count. The profiling primitive
+    behind every dashboard distribution panel, done as pure codegen: the
+    bucket id is row-local arithmetic, the aggregate collapses map-side to
+    ≤12 rows per type per partition, and the shuffle moves bucket counts,
+    never values. The oracle states width_bucket's CASE lowering explicitly
+    (both engines implement the same ANSI definition)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.width_bucket("value", F.lit(0.0), F.lit(10.0), F.lit(10)).alias(
+                "bucket"
+            ),
+        )
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

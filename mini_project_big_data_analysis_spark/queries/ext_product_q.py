@@ -246,3 +246,67 @@ def ext_ab_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_b, 6).alias("mean_b"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+_SRM_ORACLE = f"""
+WITH armed AS (
+    SELECT DISTINCT user_id, {{arm}} AS arm
+    FROM events
+), c AS (
+    SELECT count(*) FILTER (WHERE arm = 'A')::DOUBLE AS n_a,
+           count(*) FILTER (WHERE arm = 'B')::DOUBLE AS n_b
+    FROM armed
+)
+SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       round(power(n_a - (n_a + n_b) / 2, 2) / ((n_a + n_b) / 2)
+             + power(n_b - (n_a + n_b) / 2, 2) / ((n_a + n_b) / 2), 6)
+           AS chi2,
+       (power(n_a - (n_a + n_b) / 2, 2) / ((n_a + n_b) / 2)
+        + power(n_b - (n_a + n_b) / 2, 2) / ((n_a + n_b) / 2)) > 3.841459
+           AS srm_detected
+FROM c
+"""
+
+
+@register("ext_ab_srm_check", _SRM_ORACLE.format(arm=_AB_ARM))
+def ext_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the A/B split: a chi-square
+    goodness-of-fit of the realized per-USER arm counts against the
+    declared 50/50, flagged at the 95% critical value (3.841, df=1) — the
+    first sanity check any experimentation platform runs, because a biased
+    assignment invalidates every downstream readout (including
+    ext_ab_zscore, which shares this exact md5 arm recipe).
+
+    Scale shape: arm assignment is row-local; the per-user dedupe is one
+    hash-agg (map-side partials collapse each user's events first); the
+    chi-square itself is arithmetic over ONE 2-value row. Nothing leaves
+    the executors but two counts."""
+    ev = load(spark, sf_dir, "events")
+    arm_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit("ab-v1"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    armed = ev.select(
+        "user_id", F.when(arm_hash < 2147483648, "A").otherwise("B").alias("arm")
+    ).distinct()
+    c = armed.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("double")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("double")
+        .alias("n_b"),
+    )
+    half = (F.col("n_a") + F.col("n_b")) / 2
+    chi2 = (
+        F.pow(F.col("n_a") - half, 2) / half + F.pow(F.col("n_b") - half, 2) / half
+    )
+    return c.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841459).alias("srm_detected"),
+    )

@@ -460,3 +460,41 @@ def fn_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+_HOF_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_filter(toks, x -> length(x) > 3))::BIGINT AS n_long,
+       list_sum(list_transform(toks, x -> length(x)))::BIGINT AS total_len
+FROM t
+"""
+
+
+@register("fn_array_hof", _HOF_ORACLE)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a first-class surface: per-doc token
+    stats computed with ``transform`` / ``filter`` / ``aggregate`` lambdas
+    INSIDE the array column — no explode, no shuffle, no UDF. This is the
+    idiom that replaces 'explode → aggregate → groupBy back' for row-scoped
+    array work: the explode spelling shuffles token-grain rows to rebuild
+    doc grain, while the lambda spelling is row-local codegen (size,
+    list-filter count, running-sum fold) that pipelines into the scan.
+    DuckDB's list_transform/list_filter/list_sum are the exact oracle
+    twins."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 3)).cast("long").alias(
+            "n_long"
+        ),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_len"),
+    )

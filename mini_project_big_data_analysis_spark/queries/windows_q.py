@@ -329,3 +329,37 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_users_so_far", F.sum("first_flag").over(running))
         .select("event_id", "event_type", "n_users_so_far")
     )
+
+
+_TOPK_ORACLE = """
+WITH r AS (
+    SELECT event_id, event_type, value,
+           rank() OVER (PARTITION BY event_type
+                        ORDER BY value DESC, event_id) AS rnk
+    FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, event_type, value, rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+@register("window_topk_per_group", _TOPK_ORACLE)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event type — the canonical rank-filter
+    window (deterministic via the event_id tie-break).
+
+    Scale note: since 3.5 Catalyst rewrites rank()≤k into WindowGroupLimit,
+    which keeps a k-row heap PER MAP PARTITION before the shuffle — the
+    exchange carries at most k rows per (partition, key) instead of the
+    whole table, the same partial-top-k trick TakeOrderedAndProject does
+    globally. That optimization is exactly why the rank-filter spelling is
+    preferred over groupBy(collect_list + slice) at 100 TB; the plan pin
+    lives in tests/test_timeseries_round6.py."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.select("event_id", "event_type", "value", F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -282,3 +282,72 @@ def test_bitmap_partials_merge_like_or(spark):
         .collect()[0][0]
     )
     assert merged == 700  # |0..699| exactly, overlap not double-counted
+
+
+BATCH5_IDS = [
+    "window_topk_per_group",
+    "agg_histogram_equiwidth",
+    "fn_array_hof",
+    "ext_ab_srm_check",
+    "ext_skyline_pareto",
+]
+
+
+@pytest.mark.parametrize("qid", BATCH5_IDS)
+def test_batch5_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_topk_plan_uses_window_group_limit(spark, sf_dir):
+    """The scale claim: rank()<=k must compile to WindowGroupLimit (per-
+    partition k-row heaps BEFORE the shuffle), not a full window over the
+    whole table."""
+    plan = (
+        REGISTRY["window_topk_per_group"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_skyline_members_are_undominated(spark, sf_dir):
+    """Every skyline row must be strictly undominated by every customer
+    aggregate (the O(n²) definition checked against the O(n log n)
+    implementation)."""
+    cust = {
+        r.o_custkey: (r.spend, r.n_orders)
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 6).alias("spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .collect()
+    }
+    sky = REGISTRY["ext_skyline_pareto"].fn(spark, sf_dir).collect()
+    assert sky
+    for s in sky:
+        for k, (sp, n) in cust.items():
+            dominates = (
+                sp >= s.spend
+                and n >= s.n_orders
+                and (sp > s.spend or n > s.n_orders)
+            )
+            assert not dominates, f"cust {k} dominates skyline row {s}"
+
+
+def test_histogram_counts_conserve_rows(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_nonnull = ev.filter(F.col("value").isNotNull()).count()
+    out = REGISTRY["agg_histogram_equiwidth"].fn(spark, sf_dir)
+    assert out.agg(F.sum("n")).collect()[0][0] == n_nonnull
+
+
+def test_srm_not_detected_on_fair_split(spark, sf_dir):
+    r = REGISTRY["ext_ab_srm_check"].fn(spark, sf_dir).collect()[0]
+    assert not r.srm_detected  # md5 is unbiased; the fixture must pass
+    assert r.n_a + r.n_b > 0
