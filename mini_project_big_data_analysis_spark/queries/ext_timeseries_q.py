@@ -296,3 +296,181 @@ def ext_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("gap_s").alias("fastest_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_markov_transitions — event-type transition matrix (journey analytics)
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events
+), pairs AS (
+    SELECT src, dst, count(*)::BIGINT AS n
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst
+), tot AS (
+    SELECT src, sum(n)::BIGINT AS n_src FROM pairs GROUP BY src
+)
+SELECT p.src, p.dst, p.n,
+       round(p.n::DOUBLE / t.n_src, 6) AS p_transition
+FROM pairs p JOIN tot t USING (src)
+"""
+
+
+@register("ext_markov_transitions", _MARKOV_ORACLE)
+def ext_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event journeys:
+    P(next = dst | current = src), estimated from each user's time-ordered
+    sequence — the model behind next-action prediction, journey Sankeys,
+    and absorbing-state funnel analysis.
+
+    Scale shape: ONE window shuffle on user_id produces every adjacent
+    pair via lead() (no self-join on sequence position), the (src, dst)
+    count collapses map-side to ≤|types|² rows, and the row-normalization
+    re-aggregates the collapsed matrix (never re-reading the log) before a
+    broadcast-sized join keyed by src. The matrix is |types|² regardless
+    of corpus size — everything after the first window is effectively
+    free. Tie-break (ts, event_id) per the ADVICE-r5 rule."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    pairs = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return pairs.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_src"), 6).alias(
+            "p_transition"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_burst_detect — rate-spike detection against a trailing baseline
+# ---------------------------------------------------------------------------
+
+_BURST_TRAIL = 6  # trailing window, hours
+_BURST_FACTOR = 2.0
+
+_BURST_ORACLE = f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS n
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+), trailed AS (
+    SELECT event_type, h, n,
+           avg(n) OVER (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN {_BURST_TRAIL} PRECEDING AND 1 PRECEDING)
+               AS trail_avg,
+           count(*) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN {_BURST_TRAIL} PRECEDING AND 1 PRECEDING)
+               AS n_trail
+    FROM hourly
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s, n,
+       round(trail_avg, 6) AS trail_avg
+FROM trailed
+WHERE n_trail = {_BURST_TRAIL} AND n > {_BURST_FACTOR} * trail_avg
+"""
+
+
+@register("ext_burst_detect", _BURST_ORACLE)
+def ext_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: flag hours where a type's event rate exceeds 2× its
+    own trailing-6-hour average (full-history hours only, so partial
+    baselines can't alarm) — the rate-anomaly monitor ops teams page on,
+    complementing ext_anomaly_mad's value-space detector with a time-space
+    one.
+
+    Scale shape: the hourly pre-aggregation collapses the log FIRST (one
+    shuffle, map-side partials); the trailing window then runs over
+    hour-grain rows — span-hours × types, thousands of rows regardless of
+    log size — partitioned by type. The window frame is ROWS-bounded, so
+    state is 6 values; nothing here grows with event volume."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-_BURST_TRAIL, -1)
+    )
+    trailed = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.avg("n").over(w).alias("trail_avg"),
+        F.count(F.lit(1)).over(w).alias("n_trail"),
+    )
+    return trailed.filter(
+        (F.col("n_trail") == _BURST_TRAIL)
+        & (F.col("n") > _BURST_FACTOR * F.col("trail_avg"))
+    ).select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        "n",
+        F.round("trail_avg", 6).alias("trail_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_autocorr — lag-1 autocorrelation of each type's hourly rate series
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, count(*)::DOUBLE AS n
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+), lagged AS (
+    SELECT event_type, n,
+           lag(n) OVER (PARTITION BY event_type ORDER BY h) AS n_prev
+    FROM hourly
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_pairs,
+       round(corr(n, n_prev), 6) AS acf1
+FROM lagged WHERE n_prev IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("ext_autocorr", _AUTOCORR_ORACLE)
+def ext_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's hourly rate series — the
+    seasonality/persistence probe (high acf1 ⇒ momentum/periodicity worth a
+    seasonal model; near 0 ⇒ Poisson-ish arrivals) that decides whether
+    the burst detector's trailing-average baseline is even valid.
+
+    Scale shape: same skeleton as ext_burst_detect — log collapses to
+    hour grain first, ONE type-partitioned window aligns each hour with
+    its predecessor, and ``corr`` is a distributive co-moment aggregate
+    (Spark and DuckDB both compute sample correlation via single-pass
+    co-moments, merged exactly across partitions)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type", "n", F.lag("n").over(w).alias("n_prev")
+    )
+    return (
+        lagged.filter(F.col("n_prev").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("n", "n_prev"), 6).alias("acf1"),
+        )
+    )

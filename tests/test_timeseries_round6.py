@@ -351,3 +351,66 @@ def test_srm_not_detected_on_fair_split(spark, sf_dir):
     r = REGISTRY["ext_ab_srm_check"].fn(spark, sf_dir).collect()[0]
     assert not r.srm_detected  # md5 is unbiased; the fixture must pass
     assert r.n_a + r.n_b > 0
+
+
+BATCH6_IDS = [
+    "ext_markov_transitions",
+    "ext_burst_detect",
+    "ext_autocorr",
+]
+
+
+@pytest.mark.parametrize("qid", BATCH6_IDS)
+def test_batch6_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_markov_rows_are_probability_distributions(spark, sf_dir):
+    """Each source state's outgoing probabilities must sum to ~1 and pair
+    counts must total (events - one per active user)."""
+    rows = REGISTRY["ext_markov_transitions"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    psum = defaultdict(float)
+    for r in rows:
+        psum[r.src] += r.p_transition
+    assert psum and all(abs(s - 1.0) < 1e-4 for s in psum.values())
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_burst_needs_full_trailing_window(spark, sf_dir):
+    """No flagged hour may sit within the first 6 hours of its type's
+    series (partial baselines are excluded by construction)."""
+    out = {
+        (r.event_type, r.hour_s)
+        for r in REGISTRY["ext_burst_detect"].fn(spark, sf_dir).collect()
+    }
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    hours = defaultdict(list)
+    for r in hourly:
+        hours[r.event_type].append(r.h)
+    for etype, hs in hours.items():
+        first6 = {
+            h.strftime("%Y-%m-%d %H:%M:%S") for h in sorted(hs)[:6]
+        }
+        assert not any((etype, h) in out for h in first6)
+
+
+def test_autocorr_is_bounded(spark, sf_dir):
+    for r in REGISTRY["ext_autocorr"].fn(spark, sf_dir).collect():
+        assert -1.0 - 1e-9 <= r.acf1 <= 1.0 + 1e-9
+        assert r.n_pairs > 0
