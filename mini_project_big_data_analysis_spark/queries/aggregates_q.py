@@ -499,3 +499,34 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_BOOLAGG_ORACLE = """
+SELECT event_type,
+       bool_or(value > 9.5) AS any_high,
+       bool_and(value >= 0) AS all_nonneg,
+       count_if(value > 5)::BIGINT AS n_above_mid,
+       count(*)::BIGINT AS n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("agg_bool_aggregates", _BOOLAGG_ORACLE)
+def agg_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI boolean aggregates — ``any``/``every`` (SQL:2023 adopted; DuckDB
+    spells them bool_or/bool_and) plus ``count_if`` — the predicate-summary
+    trio dashboards and DQ gates lean on. All three are distributive
+    single-bit/counter partials (a boolean OR/AND and a long), so the
+    map-side combine collapses each partition to one row per type before
+    the only shuffle; semantically they are the CASE-sum lowering stated in
+    the oracle, but the dedicated forms keep intent visible to the
+    optimizer and the reader."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.expr("any(value > 9.5)").alias("any_high"),
+        F.expr("every(value >= 0)").alias("all_nonneg"),
+        F.expr("count_if(value > 5)").alias("n_above_mid"),
+        F.count(F.lit(1)).alias("n"),
+    )

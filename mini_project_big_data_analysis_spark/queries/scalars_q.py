@@ -498,3 +498,39 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
         ).alias("total_len"),
     )
+
+
+_COLLATE_ORACLE = """
+WITH cased AS (
+    SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS lang_cased
+    FROM documents
+)
+SELECT lower(lang_cased) AS lang_norm,
+       count(*)::BIGINT AS n
+FROM cased
+GROUP BY lower(lang_cased)
+"""
+
+
+@register("fn_collation_group", _COLLATE_ORACLE)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (headline Spark 4 feature): a mixed-case
+    language column (half the rows deterministically upper-cased) grouped
+    under the UTF8_LCASE collation, so 'EN' and 'en' land in ONE group
+    without a lower() rewrite touching the data. Collation rides the
+    string TYPE — comparisons, joins, and aggs all honor it once declared,
+    which is the schema-level fix for the classic silently-case-split
+    dimension. The output key is re-normalized through lower() because the
+    collated group's representative casing is engine-internal; DuckDB
+    states the lower() lowering the collation replaces."""
+    docs = load(spark, sf_dir, "documents")
+    cased = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("lang_cased")
+    )
+    return (
+        cased.groupBy(F.collate(F.col("lang_cased"), "UTF8_LCASE").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("k")).alias("lang_norm"), "n")
+    )

@@ -414,3 +414,22 @@ def test_autocorr_is_bounded(spark, sf_dir):
     for r in REGISTRY["ext_autocorr"].fn(spark, sf_dir).collect():
         assert -1.0 - 1e-9 <= r.acf1 <= 1.0 + 1e-9
         assert r.n_pairs > 0
+
+
+BATCH7_IDS = ["agg_bool_aggregates", "fn_collation_group"]
+
+
+@pytest.mark.parametrize("qid", BATCH7_IDS)
+def test_batch7_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_collation_merges_case_variants(spark, sf_dir):
+    """The collated group count must equal the distinct lower-cased lang
+    count — no case-split groups survive."""
+    out = REGISTRY["fn_collation_group"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert out.count() == docs.select(F.lower("lang")).distinct().count()
+    assert out.agg(F.sum("n")).collect()[0][0] == docs.count()
