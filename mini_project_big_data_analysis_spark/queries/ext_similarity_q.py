@@ -196,3 +196,137 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, threshold=0.3, block_col="label", id_col="vec_id", vec_col="embedding"
     ).select("vec_id", "label")
+
+
+_ARROW_NORM_ORACLE = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)
+           AS l2_norm,
+       len(embedding)::INTEGER AS dim
+FROM embeddings
+"""
+
+
+@register("fn_mapinarrow_norms", _ARROW_NORM_ORACLE)
+def fn_mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms computed through ``mapInArrow`` — the zero-copy
+    tier of the Python UDF ladder (row-udf → pandas_udf → mapInPandas →
+    mapInArrow): batches arrive as raw ``pyarrow.RecordBatch``es with NO
+    pandas materialization, the FixedSizeList/List values buffer feeds
+    numpy directly, and the norms go back as an Arrow batch. This is the
+    template for vector workloads where even the Arrow→pandas copy of
+    mapInPandas is measurable (wide embedding columns dominate the
+    payload).
+
+    Scale shape: embarrassingly row-parallel in the scan stage — no
+    shuffle; per-batch work is one vectorized numpy reduction over a
+    (batch × dim) float32 matrix. The oracle accumulates in DOUBLE
+    (`::DOUBLE[]`), matching numpy's float64 reduction over the float32
+    values."""
+    import pyarrow as pa
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            vec_id = batch.column("vec_id")
+            emb = batch.column("embedding")
+            n = len(batch)
+            dims = np.asarray(
+                [len(emb[i]) for i in range(n)], dtype=np.int32
+            )
+            # flat values buffer → (n, dim) without per-row Python loops
+            # (fixture vectors share one dim; ragged fall-back kept exact)
+            flat = np.asarray(emb.flatten(), dtype=np.float64)
+            if dims.min() == dims.max():
+                mat = flat.reshape(n, dims[0]) if n else flat.reshape(0, 1)
+                l2 = np.sqrt((mat * mat).sum(axis=1))
+            else:  # pragma: no cover - fixture vectors are fixed-dim
+                offs = np.concatenate([[0], np.cumsum(dims)])
+                l2 = np.sqrt(
+                    np.asarray(
+                        [
+                            (flat[offs[i] : offs[i + 1]] ** 2).sum()
+                            for i in range(n)
+                        ]
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_id,
+                    pa.array(np.round(l2, 6), type=pa.float64()),
+                    pa.array(dims, type=pa.int32()),
+                ],
+                names=["vec_id", "l2_norm", "dim"],
+            )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding").mapInArrow(
+        norms, "vec_id BIGINT, l2_norm DOUBLE, dim INT"
+    )
+
+
+_QUANT_ORACLE = """
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+    SELECT vec_id, e,
+           list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+    FROM v
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       round(sqrt(list_reduce(
+                 list_prepend(0.0::DOUBLE, list_transform(e,
+                     x -> (x - round(x / scale) * scale)
+                          * (x - round(x / scale) * scale))),
+                 (acc, x) -> acc + x) / len(e)), 6)
+           AS rmse,
+       list_max(list_transform(e,
+             x -> abs(round(x / scale)))) <= 127.0 AS in_range
+FROM s
+"""
+
+
+@register("ext_vector_quantize", _QUANT_ORACLE)
+def ext_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the 4×
+    vector-store compression every large ANN deployment applies before
+    indexing (scale = max|x|/127 per vector, q = round(x/scale)) — with
+    per-vector reconstruction RMSE and a range proof as the audit output.
+
+    Scale shape: entirely row-local higher-order-function arithmetic
+    (transform/max/sum lambdas) — codegen in the scan stage, no UDF, no
+    shuffle; only (id, scale, rmse, flag) rows leave, never vectors. Both
+    engines accumulate in DOUBLE over the identical per-element expression
+    tree, and the error sum is a LEFT FOLD on both sides (Spark
+    ``aggregate``, DuckDB ``list_reduce`` seeded via list_prepend) so the
+    double additions happen in the same order bit-for-bit — list_sum's
+    different association was measured to move the 6dp-rounded RMSE across
+    half-edges on a few of 500 vectors. The unrounded scale lives in an
+    internal ``scale_raw`` column because Spark 4's lateral column alias
+    resolution let the select-list alias ``scale`` SHADOW the input column
+    inside sibling expressions — the rmse silently quantized against the
+    6dp-rounded scale (measured: 0.000546 → 0.000552 on vec 443)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select("vec_id", e.alias("e"))
+    s = v.withColumn(
+        "scale_raw",
+        F.array_max(F.transform("e", lambda x: F.abs(x))) / F.lit(127.0),
+    )
+    resid = lambda x: x - F.round(x / F.col("scale_raw")) * F.col("scale_raw")  # noqa: E731
+    err2 = F.aggregate(
+        F.transform("e", lambda x: resid(x) * resid(x)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q_max = F.array_max(
+        F.transform("e", lambda x: F.abs(F.round(x / F.col("scale_raw"))))
+    )
+    return s.select(
+        "vec_id",
+        F.round("scale_raw", 6).alias("scale"),
+        F.round(F.sqrt(err2 / F.size("e")), 6).alias("rmse"),
+        (q_max <= 127.0).alias("in_range"),
+    )

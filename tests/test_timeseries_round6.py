@@ -433,3 +433,53 @@ def test_collation_merges_case_variants(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert out.count() == docs.select(F.lower("lang")).distinct().count()
     assert out.agg(F.sum("n")).collect()[0][0] == docs.count()
+
+
+BATCH8_IDS = ["fn_mapinarrow_norms", "ext_vector_quantize"]
+
+
+@pytest.mark.parametrize("qid", BATCH8_IDS)
+def test_batch8_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_mapinarrow_norms_match_sql_path(spark, sf_dir):
+    """The Arrow-batch numpy path must agree with the pure-SQL higher-order
+    spelling to 6dp — same reduction, different execution tier."""
+    sql_norms = {
+        r.vec_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform("embedding", lambda x: x.cast("double")),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x * x,
+                    )
+                ),
+                6,
+            ).alias("n"),
+        )
+        .collect()
+    }
+    arrow_norms = {
+        r.vec_id: r.l2_norm
+        for r in REGISTRY["fn_mapinarrow_norms"].fn(spark, sf_dir).collect()
+    }
+    assert set(arrow_norms) == set(sql_norms)
+    for k, v in arrow_norms.items():
+        assert v == pytest.approx(sql_norms[k], abs=2e-6), k
+
+
+def test_quantize_roundtrip_error_is_bounded_by_half_step(spark, sf_dir):
+    """Scalar quantization guarantees |x - q·scale| ≤ scale/2 per element,
+    so rmse ≤ scale/2; and every q must fit int8."""
+    rows = REGISTRY["ext_vector_quantize"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.in_range
+        assert r.rmse <= r.scale / 2 + 1e-9
