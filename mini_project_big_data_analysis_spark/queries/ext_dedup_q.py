@@ -10,7 +10,7 @@ oracle); MinHash-LSH and SimHash depend on hash seeds DuckDB can't reproduce
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import load, register
@@ -474,4 +474,110 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a", "id_b", "shared", F.round(containment, 6).alias("containment")
         )
+    )
+
+
+_SPAN_N = 8  # gram width, tokens
+
+_SPAN_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), grams AS (
+    SELECT doc_id, i - 1 AS pos,
+           array_to_string(t[i:i+{_SPAN_N}-1], ' ') AS g
+    FROM toks, unnest(generate_series(1, len(t) - {_SPAN_N} + 1)) u(i)
+), counts AS (
+    SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+), rep AS (
+    SELECT gr.doc_id, gr.pos, gr.pos + {_SPAN_N} - 1 AS pos_end
+    FROM grams gr JOIN counts c USING (g)
+), merged AS (
+    SELECT doc_id, pos, pos_end,
+           CASE WHEN max(pos_end) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    >= pos - 1
+                THEN 0 ELSE 1 END AS brk
+    FROM rep
+), islands AS (
+    SELECT doc_id, pos, pos_end,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM merged
+)
+SELECT doc_id,
+       min(pos)::BIGINT AS cut_start,
+       max(pos_end)::BIGINT AS cut_end,
+       (max(pos_end) - min(pos) + 1)::BIGINT AS span_tokens,
+       count(*)::BIGINT AS n_grams
+FROM islands
+GROUP BY doc_id, island
+"""
+
+
+@register("ext_span_dedup", _SPAN_ORACLE)
+def ext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-SPAN dedup (the Lee et al. 2022 'Deduplicating
+    Training Data' / RefinedWeb exact-substring recipe at token-gram
+    granularity): every 8-token gram that appears ≥2× corpus-wide marks its
+    positions, and per doc the marked [pos, pos+7] intervals merge into
+    maximal CUT RANGES — the byte-range deletion list a span-level
+    deduplicator feeds back into the corpus, where doc-level dedup
+    (ext_dedup_exact/fuzzy) can only drop whole documents.
+
+    Scale shape: gram fan-out is row-local in the scan stage (positions
+    from one ``transform`` over the token array, no join); the corpus gram
+    count is one hash-agg with map-side combine (the suffix-array
+    formulation this replaces needs a global sort of every suffix); the
+    repeated-gram filter joins grams⋈hot-grams keyed by gram (Zipf heads →
+    AQE skew split); interval merging is the gap-islands window — one
+    (doc_id) shuffle, running-max state. Output is cut ranges, never
+    text."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.split(F.trim("text"), r"\s+")
+    n_grams_per_doc = F.greatest(F.size(t) - (_SPAN_N - 1), F.lit(0))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_grams_per_doc),
+                lambda i: F.struct(
+                    (i - 1).alias("pos"),
+                    F.concat_ws(" ", F.slice(t, i, _SPAN_N)).alias("g"),
+                ),
+            )
+        ).alias("pg"),
+    ).select("doc_id", "pg.pos", "pg.g")
+    hot = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    )
+    rep = grams.join(hot.select("g"), "g").select(
+        "doc_id", "pos", (F.col("pos") + _SPAN_N - 1).alias("pos_end")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = rep.withColumn(
+        "brk",
+        F.when(
+            F.max("pos_end").over(w_prev) >= F.col("pos") - 1, 0
+        ).otherwise(1),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = merged.withColumn("island", F.sum("brk").over(w_run))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("cut_start"),
+            F.max("pos_end").alias("cut_end"),
+            (F.max("pos_end") - F.min("pos") + 1).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("island")
     )

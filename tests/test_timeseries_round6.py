@@ -483,3 +483,43 @@ def test_quantize_roundtrip_error_is_bounded_by_half_step(spark, sf_dir):
     for r in rows:
         assert r.in_range
         assert r.rmse <= r.scale / 2 + 1e-9
+
+
+def test_span_dedup_matches_oracle(spark, sf_dir, duck):
+    q = REGISTRY["ext_span_dedup"]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, msg
+
+
+def test_span_cut_ranges_are_maximal_and_disjoint(spark, sf_dir):
+    """Cut ranges within a doc must be disjoint with ≥1 token between them
+    (maximality: adjacent/overlapping repeated grams merged), each at least
+    the gram width long, and every range's FIRST gram really is repeated
+    corpus-wide."""
+    rows = REGISTRY["ext_span_dedup"].fn(spark, sf_dir).collect()
+    assert rows
+    from collections import Counter, defaultdict
+
+    by_doc = defaultdict(list)
+    for r in rows:
+        assert r.span_tokens >= 8
+        assert r.cut_end - r.cut_start + 1 == r.span_tokens
+        by_doc[r.doc_id].append((r.cut_start, r.cut_end))
+    for doc, spans in by_doc.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1, f"doc {doc}: ranges not maximal/disjoint"
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    gram_counts = Counter(
+        " ".join(toks[i : i + 8])
+        for toks in docs.values()
+        for i in range(len(toks) - 7)
+    )
+    for doc, spans in by_doc.items():
+        toks = docs[doc]
+        for s, e in spans:
+            g = " ".join(toks[s : s + 8])
+            assert gram_counts[g] >= 2, f"doc {doc} span at {s} not repeated"
