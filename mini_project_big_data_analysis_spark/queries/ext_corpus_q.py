@@ -541,3 +541,86 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+_DRIFT_ORACLE = r"""
+WITH toks AS (
+    SELECT lang = 'en' AS is_en, unnest(string_split_regex(trim(text), '\s+')) AS tok
+    FROM documents
+), a AS (
+    SELECT tok, count(*)::DOUBLE AS c FROM toks WHERE is_en GROUP BY tok
+), b AS (
+    SELECT tok, count(*)::DOUBLE AS c FROM toks WHERE NOT is_en GROUP BY tok
+), tot AS (
+    SELECT (SELECT sum(c) FROM a) AS na, (SELECT sum(c) FROM b) AS nb
+), j AS (
+    SELECT coalesce(a.c, 0.0) / tot.na AS p,
+           coalesce(b.c, 0.0) / tot.nb AS q
+    FROM a FULL OUTER JOIN b USING (tok) CROSS JOIN tot
+)
+SELECT (SELECT count(*) FROM a)::BIGINT AS vocab_en,
+       (SELECT count(*) FROM b)::BIGINT AS vocab_other,
+       (SELECT count(*) FROM j)::BIGINT AS vocab_union,
+       round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END)
+             + sum(CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END),
+             6) AS js_divergence
+FROM j
+"""
+
+
+@register("ext_token_drift", _DRIFT_ORACLE)
+def ext_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus slices (en vs non-en)
+    as Jensen-Shannon divergence — the distribution-shift monitor a
+    training pipeline runs between crawl snapshots or data sources before
+    mixing them (JS rather than KL because disjoint-support tokens
+    contribute finite mass instead of blowing up, so no smoothing
+    hyperparameter enters the number).
+
+    Scale shape: token fan-out is a scan-stage explode; each slice
+    collapses to its vocabulary by one hash-agg (map-side combine eats the
+    Zipf head); the FULL OUTER join and the final sum run at VOCAB grain —
+    thousands of rows however big the corpus — and the two slice totals
+    broadcast as 1-row literals. The JS sum is a distributive aggregate;
+    both engines reduce the identical per-token doubles, 6dp absorbs
+    association order."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    a = toks.filter("is_en").groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("ca")
+    )
+    b = toks.filter(~F.col("is_en")).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("cb")
+    )
+    na = a.agg(F.sum("ca").alias("na"))
+    nb = b.agg(F.sum("cb").alias("nb"))
+    j = (
+        a.join(b, "tok", "full_outer")
+        .join(F.broadcast(na))
+        .join(F.broadcast(nb))
+        .select(
+            (F.coalesce("ca", F.lit(0.0)) / F.col("na")).alias("p"),
+            (F.coalesce("cb", F.lit(0.0)) / F.col("nb")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    js = F.sum(
+        F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(
+            0.0
+        )
+    ) + F.sum(
+        F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / m)).otherwise(
+            0.0
+        )
+    )
+    stats = j.agg(
+        F.count(F.lit(1)).alias("vocab_union"), F.round(js, 6).alias("js_divergence")
+    )
+    va = a.agg(F.count(F.lit(1)).alias("vocab_en"))
+    vb = b.agg(F.count(F.lit(1)).alias("vocab_other"))
+    return va.join(vb).join(stats).select(
+        "vocab_en", "vocab_other", "vocab_union", "js_divergence"
+    )

@@ -523,3 +523,36 @@ def test_span_cut_ranges_are_maximal_and_disjoint(spark, sf_dir):
         for s, e in spans:
             g = " ".join(toks[s : s + 8])
             assert gram_counts[g] >= 2, f"doc {doc} span at {s} not repeated"
+
+
+def test_token_drift_matches_oracle(spark, sf_dir, duck):
+    q = REGISTRY["ext_token_drift"]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, msg
+
+
+def test_js_divergence_bounds_and_identity(spark):
+    """JS ∈ [0, ln 2]; identical slices give exactly 0."""
+    import math
+
+    rows = [(True, "a b c a"), (False, "a b c a")]
+    df = spark.createDataFrame(rows, "is_en boolean, text string")
+    df.createOrReplaceTempView("_js_probe")
+    from pyspark.sql import functions as FF
+
+    toks = df.select(
+        "is_en", FF.explode(FF.split(FF.trim("text"), r"\s+")).alias("tok")
+    )
+    a = toks.filter("is_en").groupBy("tok").count()
+    b = toks.filter(~FF.col("is_en")).groupBy("tok").count()
+    j = a.withColumnRenamed("count", "ca").join(
+        b.withColumnRenamed("count", "cb"), "tok", "full_outer"
+    )
+    p = FF.col("ca") / 4.0
+    q = FF.col("cb") / 4.0
+    m = (p + q) / 2
+    js = j.agg(
+        FF.sum(0.5 * p * FF.log(p / m)) + FF.sum(0.5 * q * FF.log(q / m))
+    ).collect()[0][0]
+    assert js == pytest.approx(0.0, abs=1e-12)
+    assert 0.0 <= js <= math.log(2) + 1e-9
