@@ -474,3 +474,70 @@ def ext_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("n", "n_prev"), 6).alias("acf1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_winsorize — percentile clipping + robust vs raw moment comparison
+# ---------------------------------------------------------------------------
+
+_WINSOR_LO = 0.01
+_WINSOR_HI = 0.99
+
+_WINSOR_ORACLE = f"""
+WITH cuts AS (
+    SELECT event_type,
+           quantile_cont(value, {_WINSOR_LO}) AS lo,
+           quantile_cont(value, {_WINSOR_HI}) AS hi
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN e.value < c.lo OR e.value > c.hi THEN 1 ELSE 0 END)::BIGINT
+           AS n_clipped,
+       round(any_value(c.lo), 6) AS p01,
+       round(any_value(c.hi), 6) AS p99,
+       round(avg(e.value), 6) AS mean_raw,
+       round(avg(CASE WHEN e.value < c.lo THEN c.lo
+                      WHEN e.value > c.hi THEN c.hi
+                      ELSE e.value END), 6) AS mean_winsor
+FROM events e JOIN cuts c USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@register("ext_winsorize", _WINSOR_ORACLE)
+def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit per event type: clip values to the [P1, P99]
+    band and report raw vs winsorized means plus the clip count — the
+    metric-hardening step reporting pipelines apply so a single corrupt
+    reading can't move a dashboard mean (clipping, unlike dropping,
+    preserves row count for ratio metrics).
+
+    Scale shape: the cut points are one grouped exact-percentile agg
+    (``percentile`` ≡ quantile_cont; swap approx_percentile at 100 TB on
+    the same plan) broadcast back onto the stream — n_types rows — and the
+    comparison is a single conditional-aggregation pass: one wide shuffle
+    total beyond the percentile sort."""
+    ev = load(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", _WINSOR_LO).alias("lo"),
+        F.percentile("value", _WINSOR_HI).alias("hi"),
+    )
+    j = ev.join(F.broadcast(cuts), "event_type")
+    clipped = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+            ).otherwise(0)
+        ).alias("n_clipped"),
+        F.round(F.any_value("lo"), 6).alias("p01"),
+        F.round(F.any_value("hi"), 6).alias("p99"),
+        F.round(F.avg("value"), 6).alias("mean_raw"),
+        F.round(F.avg(clipped), 6).alias("mean_winsor"),
+    )

@@ -363,3 +363,74 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", "event_type", "value", F.rank().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+_ROLLCORR_FRAME = 24
+
+_ROLLCORR_ORACLE = f"""
+WITH lagged AS (
+    SELECT event_type, event_id, ts, value,
+           lag(value) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS prev
+    FROM events
+)
+SELECT event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       round(covar_samp(value, prev) OVER w
+             / nullif(stddev_samp(value) OVER w * stddev_samp(prev) OVER w, 0),
+             6) AS roll_corr
+FROM lagged
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN {_ROLLCORR_FRAME - 1} PRECEDING AND CURRENT ROW)
+QUALIFY count(prev) OVER w = {_ROLLCORR_FRAME}
+"""
+
+
+@register("window_rolling_corr", _ROLLCORR_ORACLE)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-observation correlation between each series and its own
+    previous value — the windowed co-moment statistic behind rolling-beta
+    and regime-change panels, and the demonstration that ANY aggregate
+    (here ``corr``) runs as a window function over a bounded ROWS frame.
+
+    Scale shape: one window shuffle on event_type serves BOTH the lag and
+    the rolling corr (same partitioning + ordering, Catalyst fuses them
+    into consecutive Window operators without re-exchange); the frame is
+    ROWS-bounded so state is 24 pairs regardless of series length. Rows
+    without a full 24-pair frame are dropped on both sides (count(prev)
+    guard — DuckDB spells it QUALIFY, Spark as a post-filter), which also
+    pins the boundary semantics the engines could otherwise disagree on.
+    The ratio is spelled covar/(σx·σy) with an explicit zero-variance
+    guard rather than native ``corr``: ANSI mode turns corr's internal
+    division into a hard DIVIDE_BY_ZERO on constant frames (hit on the
+    dup-heavy sf1 profile), while the guarded spelling yields NULL —
+    DuckDB corr's semantics — on both engines."""
+    ev = load(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_frame = w_ord.rowsBetween(-(_ROLLCORR_FRAME - 1), Window.currentRow)
+    lagged = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.lag("value").over(w_ord).alias("prev"),
+    )
+    den = (
+        F.stddev_samp("value").over(w_frame)
+        * F.stddev_samp("prev").over(w_frame)
+    )
+    return (
+        lagged.select(
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.round(
+                F.covar_samp("value", "prev").over(w_frame)
+                / F.nullif(den, F.lit(0.0)),
+                6,
+            ).alias("roll_corr"),
+            F.count("prev").over(w_frame).alias("n_frame"),
+        )
+        .filter(F.col("n_frame") == _ROLLCORR_FRAME)
+        .drop("n_frame")
+    )

@@ -556,3 +556,37 @@ def test_js_divergence_bounds_and_identity(spark):
     ).collect()[0][0]
     assert js == pytest.approx(0.0, abs=1e-12)
     assert 0.0 <= js <= math.log(2) + 1e-9
+
+
+BATCH10_IDS = ["window_rolling_corr", "ext_winsorize"]
+
+
+@pytest.mark.parametrize("qid", BATCH10_IDS)
+def test_batch10_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_rolling_corr_bounded_and_full_frames_only(spark, sf_dir):
+    rows = REGISTRY["window_rolling_corr"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.roll_corr is not None:  # constant frames yield NULL corr
+            assert -1.0 - 1e-9 <= r.roll_corr <= 1.0 + 1e-9
+    # full-frame guard: per type, exactly n_series - 24 rows survive
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_type = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    from collections import Counter
+
+    got = Counter(r.event_type for r in rows)
+    for t, n in per_type.items():
+        assert got[t] == max(0, n - 24), t
+
+
+def test_winsorize_shrinks_toward_center(spark, sf_dir):
+    """Clipping to [P1,P99] must clip ~2% of rows and cannot move the mean
+    outside the cut band."""
+    for r in REGISTRY["ext_winsorize"].fn(spark, sf_dir).collect():
+        assert 0 < r.n_clipped <= 0.03 * r.n
+        assert r.p01 <= r.mean_winsor <= r.p99
