@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import load, register
@@ -529,4 +529,51 @@ def agg_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("every(value >= 0)").alias("all_nonneg"),
         F.expr("count_if(value > 5)").alias("n_above_mid"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+_MODE_ORACLE = """
+WITH c AS (
+    SELECT event_type, floor(value)::BIGINT AS v, count(*)::BIGINT AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, floor(value)::BIGINT
+), r AS (
+    SELECT event_type, v, n,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY n DESC, v) AS rk
+    FROM c
+)
+SELECT event_type, v AS mode_value, n AS mode_count
+FROM r WHERE rk = 1
+"""
+
+
+@register("agg_mode_deterministic", _MODE_ORACLE)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent integer-floored value) per event
+    type. Native ``mode()`` picks an ARBITRARY value on ties in both
+    engines — useless for a hash-checked pipeline — so the engine spelling
+    is the count-then-rank form with an explicit (count DESC, value) tie
+    order, which is also what makes the statistic reproducible across
+    reruns and engines.
+
+    Scale shape: the value domain collapses first (one (type, v) hash-agg
+    with map-side combine — the shuffle carries domain-sized counts, not
+    events), then the per-type argmax is a rank-1 filter over tiny grouped
+    rows, which Catalyst lowers through WindowGroupLimit (1-row heap per
+    partition) exactly like window_topk_per_group."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = ev.groupBy(
+        "event_type", F.floor("value").cast("bigint").alias("v")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("v"))
+    return (
+        c.select(
+            "event_type",
+            F.col("v").alias("mode_value"),
+            F.col("n").alias("mode_count"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
     )

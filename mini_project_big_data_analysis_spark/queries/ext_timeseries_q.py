@@ -541,3 +541,147 @@ def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("mean_raw"),
         F.round(F.avg(clipped), 6).alias("mean_winsor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_ks_test — two-sample Kolmogorov–Smirnov statistic (ECDF distance)
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH v AS (
+    SELECT n_chars::DOUBLE AS x, lang = 'en' AS is_en FROM documents
+), pts AS (
+    SELECT x,
+           sum(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT AS ca,
+           sum(CASE WHEN is_en THEN 0 ELSE 1 END)::BIGINT AS cb
+    FROM v GROUP BY x
+), tot AS (
+    SELECT sum(ca)::DOUBLE AS na, sum(cb)::DOUBLE AS nb FROM pts
+), ecdf AS (
+    SELECT sum(ca) OVER (ORDER BY x) / tot.na AS fa,
+           sum(cb) OVER (ORDER BY x) / tot.nb AS fb
+    FROM pts CROSS JOIN tot
+)
+SELECT (SELECT na FROM tot)::BIGINT AS n_en,
+       (SELECT nb FROM tot)::BIGINT AS n_other,
+       round(max(abs(fa - fb)), 6) AS ks_d
+FROM ecdf
+"""
+
+
+@register("ext_ks_test", _KS_ORACLE)
+def ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the en and non-en
+    document-length distributions — the continuous-variable drift test
+    pairing ext_token_drift's categorical JS divergence (KS needs no
+    binning choice; D = max ECDF gap, evaluated exactly at the observed
+    points where the max must occur).
+
+    Scale shape: values collapse to DISTINCT-VALUE grain first (one
+    hash-agg with per-slice conditional counts — the length domain is
+    small, so this is the big reduction); the two ECDFs come from running
+    sums over ONE global sort of those distinct values (range-partitioned
+    exchange, same machinery as orderBy — value-domain-sized, not
+    corpus-sized); totals broadcast as a 1-row literal. All counts stay
+    integer until the final two divisions, so both engines compare
+    bit-identical ECDF steps."""
+    docs = load(spark, sf_dir, "documents")
+    v = docs.select(
+        F.col("n_chars").cast("double").alias("x"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    pts = v.groupBy("x").agg(
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_en"), 0).otherwise(1)).alias("cb"),
+    )
+    tot = pts.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = pts.join(F.broadcast(tot)).select(
+        (F.sum("ca").over(w) / F.col("na")).alias("fa"),
+        (F.sum("cb").over(w) / F.col("nb")).alias("fb"),
+    )
+    d = ecdf.agg(F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_d"))
+    return (
+        tot.select(
+            F.col("na").cast("bigint").alias("n_en"),
+            F.col("nb").cast("bigint").alias("n_other"),
+        )
+        .join(d)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_gini_concentration — spend-concentration (inequality) coefficient
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH cust AS (
+    SELECT o_custkey, round(sum(o_totalprice) * 100)::BIGINT AS cents
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents, o_custkey) AS i
+    FROM cust
+)
+SELECT count(*)::BIGINT AS n_customers,
+       round(sum(cents) / 100.0, 2) AS total_spend,
+       round(2.0 * sum(i * cents) / (count(*) * sum(cents))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+"""
+
+
+@register("ext_gini_concentration", _GINI_ORACLE)
+def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the concentration audit run on
+    corpora too (is 90% of the data coming from 1% of domains/users?),
+    computed by the sorted-rank identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n.
+
+    Scale shape: orders collapse to customer grain by one hash-agg; the
+    global rank uses the DISTRIBUTED recipe — range-repartition on the
+    sort key, row_number within each range partition, plus per-partition
+    offsets (a bounded n_partitions-row collect broadcast back) — because
+    an unpartitioned row_number window drags every row to one task (the
+    skyline lesson). The moments are distributive sums. Exactness trick:
+    spend converts to integer CENTS before ranking and summation, so
+    Σ i·xᵢ and Σx are EXACT integer aggregates on both engines — no float
+    association noise reaches the final two divisions."""
+    orders = load(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    # distributed global rank: repartitionByRange orders partitions by key
+    # range (pid ascending = key ascending), so global_i = local row_number
+    # + sum of earlier partitions' counts. The offset table is n_partitions
+    # rows — a bounded driver round-trip, broadcast back.
+    parts = cust.repartitionByRange(16, "cents", "o_custkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    sizes = {r.pid: r.c for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets = []
+    acc = 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off_df = F.broadcast(
+        parts.sparkSession.createDataFrame(offsets, "pid int, off long")
+    )
+    w_local = Window.partitionBy("pid").orderBy("cents", "o_custkey")
+    ranked = (
+        parts.withColumn("li", F.row_number().over(w_local))
+        .join(off_df, "pid")
+        .select("cents", (F.col("li") + F.col("off")).alias("i"))
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_customers"),
+        F.round(F.sum("cents") / 100.0, 2).alias("total_spend"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("cents")) / (n * F.sum("cents"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )

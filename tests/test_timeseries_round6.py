@@ -590,3 +590,55 @@ def test_winsorize_shrinks_toward_center(spark, sf_dir):
     for r in REGISTRY["ext_winsorize"].fn(spark, sf_dir).collect():
         assert 0 < r.n_clipped <= 0.03 * r.n
         assert r.p01 <= r.mean_winsor <= r.p99
+
+
+BATCH11_IDS = ["ext_ks_test", "ext_gini_concentration", "agg_mode_deterministic"]
+
+
+@pytest.mark.parametrize("qid", BATCH11_IDS)
+def test_batch11_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_ks_d_is_a_valid_statistic(spark, sf_dir):
+    r = REGISTRY["ext_ks_test"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.ks_d <= 1.0
+    assert r.n_en > 0 and r.n_other > 0
+
+
+def test_gini_distributed_rank_equals_sorted_rank(spark, sf_dir):
+    """The range-partition + offset rank must reproduce the plain sorted
+    rank exactly — verified by recomputing Gini from a driver-side sort."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("cents"))
+        .collect()
+    )
+    xs = [r.cents for r in sorted(cust, key=lambda r: (r.cents, r.o_custkey))]
+    n = len(xs)
+    g = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sum(xs)) - (n + 1.0) / n
+    r = REGISTRY["ext_gini_concentration"].fn(spark, sf_dir).collect()[0]
+    assert r.n_customers == n
+    assert r.gini == pytest.approx(round(g, 6), abs=1e-6)
+    assert 0.0 <= r.gini < 1.0
+
+
+def test_mode_is_the_true_argmax_with_smallest_value_tie_break(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    from collections import Counter, defaultdict
+    import math
+
+    counts = defaultdict(Counter)
+    for r in ev:
+        if r.value is not None:
+            counts[r.event_type][math.floor(r.value)] += 1
+    got = {
+        r.event_type: (r.mode_value, r.mode_count)
+        for r in REGISTRY["agg_mode_deterministic"].fn(spark, sf_dir).collect()
+    }
+    for etype, c in counts.items():
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[etype] == best, etype
