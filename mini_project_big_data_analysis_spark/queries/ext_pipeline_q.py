@@ -350,3 +350,55 @@ def ext_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s") / F.col("n_events"), 6).alias("avg_value"),
         )
     )
+
+
+_EXACTK_K = 20
+
+_EXACTK_ORACLE = f"""
+WITH h AS (
+    SELECT doc_id, lang,
+           {_B.format(salt='exactk-v1')} AS hk
+    FROM documents
+), r AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+    FROM h
+)
+SELECT doc_id, lang FROM r WHERE rk <= {_EXACTK_K}
+"""
+
+
+@register("ext_sample_exact_k", _EXACTK_ORACLE)
+def ext_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k uniform sample per stratum (20 docs per language): rank rows
+    by a salted content hash and keep the k smallest — the eval-set /
+    human-review draw where a RATE-based sample (ext_sample_stratified)
+    can't promise the exact count. Hash-ranking makes it deterministic,
+    stable under re-partitioning, and near-uniform (md5 is a PRF on the
+    id), with the usual incremental caveat stated: unlike rate sampling,
+    adding corpus rows CAN evict a previously sampled row (a new smaller
+    hash enters the top-k) — that's inherent to any exact-k draw.
+
+    Scale shape: hash is row-local; rank()≤k lowers to WindowGroupLimit
+    (k-row heap per map partition BEFORE the one stratum shuffle), so the
+    exchange carries ≤k rows per (partition, stratum) — same plan family
+    as window_topk_per_group, pinned there."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    hk = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("exactk-v1"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        docs.select("doc_id", "lang", hk.alias("hk"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _EXACTK_K)
+        .select("doc_id", "lang")
+    )

@@ -429,3 +429,40 @@ def read_snapshot(spark: SparkSession, table_dir: str, version: int) -> DataFram
         manifest = json.load(f)
     rel = manifest["versions"][str(version)]
     return spark.read.parquet(os.path.join(table_dir, rel))
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
+    """Snapshot lifecycle GC (the Iceberg expire_snapshots / Delta VACUUM
+    step): drop all but the newest ``keep_last`` versions and return the
+    expired version numbers.
+
+    Ordering is the crash-safe mirror of write_snapshot's commit protocol,
+    reversed: the manifest entry is removed FIRST (atomic rename swap — the
+    uncommit point), THEN the data directory is deleted. A crash between
+    the two leaves an orphan data dir that readers can never resolve
+    (they only look through the manifest) and that write_snapshot's
+    version allocator already skips — so every interleaving is safe and
+    re-running expire is a no-op for already-expired versions. Refuses to
+    expire everything: a table always keeps ≥1 readable snapshot."""
+    import json
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1: a table keeps >=1 snapshot")
+    manifest_path = os.path.join(table_dir, "manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    versions = sorted(int(v) for v in manifest["versions"])
+    expired = versions[:-keep_last]
+    if not expired:
+        return []
+    doomed_dirs = [manifest["versions"][str(v)] for v in expired]
+    for v in expired:
+        del manifest["versions"][str(v)]
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, manifest_path)  # uncommit point: versions now invisible
+    for rel in doomed_dirs:
+        shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
+    return expired

@@ -642,3 +642,52 @@ def test_mode_is_the_true_argmax_with_smallest_value_tie_break(spark, sf_dir):
     for etype, c in counts.items():
         best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
         assert got[etype] == best, etype
+
+
+def test_sample_exact_k_matches_oracle(spark, sf_dir, duck):
+    q = REGISTRY["ext_sample_exact_k"]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, msg
+
+
+def test_sample_exact_k_counts(spark, sf_dir):
+    from collections import Counter
+
+    got = Counter(
+        r.lang for r in REGISTRY["ext_sample_exact_k"].fn(spark, sf_dir).collect()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    avail = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in avail.items():
+        assert got[lang] == min(20, n), lang
+
+
+def test_expire_snapshots_lifecycle(spark, tmp_path):
+    """Write 3 snapshots, expire to keep_last=1: old versions vanish from
+    the manifest AND disk, the survivor stays readable, re-expire is a
+    no-op, new writes allocate past expired numbers, and keep_last=0 is
+    refused."""
+    import os
+
+    import pytest as pt
+
+    from mini_project_big_data_analysis_spark.sources.writers import (
+        expire_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    td = str(tmp_path / "tbl")
+    for i in range(3):
+        df = spark.range(i * 10, i * 10 + 5).withColumnRenamed("id", "v")
+        assert write_snapshot(df, td) == i
+    assert expire_snapshots(td, keep_last=1) == [0, 1]
+    assert {r.v for r in read_snapshot(spark, td, 2).collect()} == {20, 21, 22, 23, 24}
+    for v in (0, 1):
+        assert not os.path.exists(os.path.join(td, f"v{v}"))
+        with pt.raises(KeyError):
+            read_snapshot(spark, td, v)
+    assert expire_snapshots(td, keep_last=1) == []  # idempotent
+    assert write_snapshot(spark.range(1).withColumnRenamed("id", "v"), td) == 3
+    with pt.raises(ValueError):
+        expire_snapshots(td, keep_last=0)
