@@ -504,3 +504,40 @@ def test_intersect_all_aggregates_before_join(spark, sf_dir):
         assert "Generate" in plan or "Expand" in plan or "replicate" in plan.lower(), plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """At 100 TB the probe side of a selective join should be pre-filtered
+    by a runtime Bloom filter built from the filtered build side (row-level
+    DPP for non-partition columns, Spark >=3.3). The production thresholds
+    (10 MB build / 10 GB probe) are sized for clusters, so this pin lowers
+    them to force the rewrite and asserts the BloomFilter aggregate +
+    might_contain probe appear in the optimized plan — proving the engine
+    configuration path the 100 TB posture depends on. Conf is restored
+    either way; only this test's plan is affected."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "500MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        joined = lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilterAggregate" in plan, plan[:2000]
+        assert "might_contain" in plan or "BloomFilterMightContain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
