@@ -1,6 +1,9 @@
-r"""Round-6 time-series queries (SURVEY.md §2.9i): hypertable-style gap
-filling with LOCF, EWMA smoothing, robust (median/MAD) anomaly detection,
-and MATCH_RECOGNIZE-lite sequence matching over the events stream table.
+r"""Round-6 time-series + statistics queries (SURVEY.md §2.9i):
+hypertable-style gap filling with LOCF, EWMA smoothing, robust
+(median/MAD) anomaly detection, MATCH_RECOGNIZE-lite sequence matching,
+journey Markov transitions, trailing-baseline burst detection, hourly-rate
+autocorrelation, winsorization, the two-sample KS drift statistic, and the
+Gini concentration coefficient over the events/orders tables.
 
 The reference's time handling stops at a pandas resample-free line chart
 (``app.py:101-131`` plots raw rows ordered by timestamp); these model the
