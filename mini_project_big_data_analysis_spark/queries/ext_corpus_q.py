@@ -62,7 +62,11 @@ def ext_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered reassembly. No driver state, no all-pairs anything; block
     payloads travel the first shuffle only once."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
+    # token array materialized as a COLUMN first: an inline split captured
+    # by the transform lambda re-evaluates the regex per generated block
+    # (the ext_span_dedup lesson, measured 5x at sf0.1)
+    docs = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    toks = F.col("t")
     n_blocks = (F.size(toks) - 1) / _BLOCK  # floor via cast below
     blocks = (
         docs.select(
@@ -132,7 +136,9 @@ def ext_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     this pipelines into the scan and fans out ~n_tokens/stride rows per doc
     with no exchange until whatever consumes the chunks."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
+    # same pre-materialization as the block dedup above (lambda capture)
+    docs = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    toks = F.col("t")
     last_start = F.greatest(
         F.floor((F.size(toks) - _CHUNK + _STRIDE - 1) / _STRIDE).cast("long"),
         F.lit(0).cast("long"),

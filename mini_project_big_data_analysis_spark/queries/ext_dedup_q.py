@@ -534,9 +534,14 @@ def ext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id) shuffle, running-max state. Output is cut ranges, never
     text."""
     docs = load(spark, sf_dir, "documents")
-    t = F.split(F.trim("text"), r"\s+")
+    # materialize the token array into a COLUMN before the lambda: an
+    # inline `split` expression captured by a transform lambda re-evaluates
+    # per generated element (measured 5× slower at sf0.1 — the regex split
+    # ran once per gram position, not once per row)
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    t = F.col("t")
     n_grams_per_doc = F.greatest(F.size(t) - (_SPAN_N - 1), F.lit(0))
-    grams = docs.select(
+    grams = toks.select(
         "doc_id",
         F.explode(
             F.transform(

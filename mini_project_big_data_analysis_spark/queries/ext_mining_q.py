@@ -61,7 +61,8 @@ def ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-count filter applies BEFORE the joins, shrinking the left side
     first."""
     docs = load(spark, sf_dir, "documents")
-    t = F.split(F.trim("text"), r"\s+")
+    docs = docs.select(F.split(F.trim("text"), r"\s+").alias("tk"))
+    t = F.col("tk")
     m = F.greatest(F.size(t) - 1, F.lit(0))
     big = (
         docs.select(

@@ -367,7 +367,8 @@ def ext_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles key on doc_id(+bigram), partial aggregation map-side; skew
     bounded by max document length."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    docs = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
+    toks = F.col("tk")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.zip_with(

@@ -487,7 +487,8 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's list_transform/list_filter/list_sum are the exact oracle
     twins."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
+    docs = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
+    toks = F.col("tk")
     return docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
