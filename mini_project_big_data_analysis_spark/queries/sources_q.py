@@ -571,3 +571,93 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .load(out)
     )
+
+
+_FOOTER_BUCKET = 128
+
+_FOOTER_ORACLE = f"""
+SELECT (doc_id // {_FOOTER_BUCKET})::BIGINT AS bucket,
+       count(*)::BIGINT AS n_rows,
+       min(n_chars)::BIGINT AS min_nchars,
+       max(n_chars)::BIGINT AS max_nchars
+FROM documents
+GROUP BY doc_id // {_FOOTER_BUCKET}
+"""
+
+
+@register("src_footer_stats", _FOOTER_ORACLE)
+def src_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-skipping stats plane made first-class: documents are
+    written as bucket-partitioned parquet, then per-file FOOTER metadata
+    (row counts + column min/max, parsed with pyarrow inside executors —
+    the data pages are never read) is aggregated into a per-bucket stats
+    manifest. The oracle recomputes the same stats relationally, so the
+    check proves the footers a pruning planner would trust agree exactly
+    with the data — the Iceberg/Delta manifest-stats contract.
+
+    Scale shape: the write is one shuffle on the bucket key; the stats
+    scan is `binaryFile` (one task per file) + an Arrow-batched footer
+    parse that reads O(KB) per file regardless of file size — this is why
+    manifest-driven pruning costs metadata-plane IO only — and the final
+    rollup is a tiny hash-agg on bucket."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), "mpbda_footer_stats", uuid.uuid4().hex
+    )
+    (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            (F.col("doc_id") / _FOOTER_BUCKET).cast("long").alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(out)
+    )
+
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.parquet"
+    ).option("recursiveFileLookup", "true").load(out)
+
+    def parse_footers(batches):
+        import io
+        import re as _re
+
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = _re.search(r"bucket=(\d+)", path)
+                if not m:
+                    continue
+                meta = pq.ParquetFile(io.BytesIO(content)).metadata
+                for i in range(meta.num_row_groups):
+                    rg = meta.row_group(i)
+                    for j in range(rg.num_columns):
+                        c = rg.column(j)
+                        if c.path_in_schema == "n_chars":
+                            rows.append(
+                                (
+                                    int(m.group(1)),
+                                    rg.num_rows,
+                                    int(c.statistics.min),
+                                    int(c.statistics.max),
+                                )
+                            )
+            yield pd.DataFrame(
+                rows, columns=["bucket", "n_rows", "min_nchars", "max_nchars"]
+            )
+
+    stats = files.select("path", "content").mapInPandas(
+        parse_footers,
+        "bucket long, n_rows long, min_nchars long, max_nchars long",
+    )
+    return stats.groupBy("bucket").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_nchars").alias("min_nchars"),
+        F.max("max_nchars").alias("max_nchars"),
+    )

@@ -691,3 +691,9 @@ def test_expire_snapshots_lifecycle(spark, tmp_path):
     assert write_snapshot(spark.range(1).withColumnRenamed("id", "v"), td) == 3
     with pt.raises(ValueError):
         expire_snapshots(td, keep_last=0)
+
+
+def test_footer_stats_matches_oracle(spark, sf_dir, duck):
+    q = REGISTRY["src_footer_stats"]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, msg
