@@ -89,3 +89,134 @@ def test_bpe_pretokenizer_partitions_every_non_separator_char(text):
     matches = re.findall(_BPE_PAT, text)
     stripped = "".join(c for c in text if c not in " \t\n\r")
     assert "".join(matches) == stripped
+
+
+@given(
+    pos=st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=25),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_span_island_merge_matches_reference_interval_merge(spark, pos):
+    """The gap-islands window rule used by ext_span_dedup (break when
+    pos > running-max(end) + 1) must merge [p, p+7] intervals exactly like
+    the classic sorted interval-merge algorithm, for arbitrary position
+    sets including duplicates and containment."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    N = 8
+    rows = [(0, p, p + N - 1) for p in sorted(set(pos))]
+    df = spark.createDataFrame(rows, "doc_id long, pos long, pos_end long")
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = sorted(
+        (r.s, r.e)
+        for r in df.withColumn(
+            "brk",
+            F.when(F.max("pos_end").over(w_prev) >= F.col("pos") - 1, 0).otherwise(1),
+        )
+        .withColumn("island", F.sum("brk").over(w_run))
+        .groupBy("island")
+        .agg(F.min("pos").alias("s"), F.max("pos_end").alias("e"))
+        .collect()
+    )
+    # reference merge
+    ref = []
+    for p in sorted(set(pos)):
+        s, e = p, p + N - 1
+        if ref and s <= ref[-1][1] + 1:
+            ref[-1] = (ref[-1][0], max(ref[-1][1], e))
+        else:
+            ref.append((s, e))
+    assert got == ref
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=4096), min_size=1, max_size=200),
+)
+def test_compaction_cumsum_rule_invariants(sizes):
+    """The streaming bin rule (bin = bytes-before // target) with item
+    sizes ≤ target must yield consecutive non-decreasing bin ids, conserve
+    totals, and close every non-final bin at ≥ target total bytes counted
+    from its first item's start boundary."""
+    T = 4096
+    cum = 0
+    bins = {}
+    last_bin = 0
+    for s in sizes:
+        b = cum // T
+        assert b >= last_bin and b - last_bin <= 1  # consecutive, no skips
+        last_bin = b
+        bins.setdefault(b, 0)
+        bins[b] += s
+        cum += s
+    assert sum(bins.values()) == sum(sizes)
+    assert sorted(bins) == list(range(len(bins)))
+
+
+@given(
+    ops=st.lists(
+        st.sampled_from(["write", "expire1", "expire2", "orphan"]),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_lifecycle_invariants_under_random_ops(spark, ops, tmp_path_factory):
+    """Random interleavings of commits, expiries, and crash-orphans keep
+    the table invariants: every manifest version is readable, expired/
+    orphaned versions are not, and the allocator never reuses a live or
+    orphaned directory."""
+    import json
+    import os
+
+    from mini_project_big_data_analysis_spark.sources.writers import (
+        expire_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    td = str(tmp_path_factory.mktemp("prop") / "tbl")
+    expected = {}  # version -> row count
+    orphans = set()
+    next_rows = 1
+    for op in ops:
+        if op == "write":
+            v = write_snapshot(
+                spark.range(next_rows).withColumnRenamed("id", "v"), td
+            )
+            assert v not in expected and v not in orphans
+            expected[v] = next_rows
+            next_rows += 1
+        elif op in ("expire1", "expire2") and expected:
+            k = 1 if op == "expire1" else 2
+            gone = expire_snapshots(td, keep_last=k)
+            assert gone == sorted(expected)[: max(0, len(expected) - k)]
+            for v in gone:
+                expected.pop(v)
+                assert not os.path.exists(os.path.join(td, f"v{v}"))
+        elif op == "orphan" and expected:
+            # simulate a crashed expire: drop the OLDEST version from the
+            # manifest but leave its directory on disk
+            v = sorted(expected)[0]
+            if len(expected) > 1:
+                with open(os.path.join(td, "manifest.json")) as f:
+                    m = json.load(f)
+                del m["versions"][str(v)]
+                with open(os.path.join(td, "manifest.json"), "w") as f:
+                    json.dump(m, f)
+                expected.pop(v)
+                orphans.add(v)
+    for v, n in expected.items():
+        assert read_snapshot(spark, td, v).count() == n
+    for v in orphans:
+        try:
+            read_snapshot(spark, td, v)
+            raise AssertionError(f"orphan v{v} readable")
+        except KeyError:
+            pass
