@@ -352,8 +352,11 @@ def ext_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/relational.py capped_self_join_pairs) bounds every join
     key's group at block_cap rows, so one skewed (lang, source) block can
     no longer concentrate its whole O(n²) comparison on a single task —
-    the round-3 100 TB caveat; levenshtein itself is a codegen'd built-in
-    on both engines."""
+    the round-3 100 TB caveat. The distance itself uses the THRESHOLDED
+    levenshtein (Spark ≥3.5): with the bound passed in, the DP early-exits
+    as soon as a band exceeds it — O(k·n) per pair instead of O(n·m), and
+    returns -1 for over-threshold pairs (exact distance otherwise, so the
+    oracle's plain levenshtein filter is unchanged)."""
     from ..operators.relational import capped_self_join_pairs
 
     docs = load(spark, sf_dir, "documents")
@@ -364,8 +367,10 @@ def ext_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed, ["lang", "source"], "doc_id", ["prefix"], block_cap=4096
     )
     return (
-        pairs.withColumn("edit_dist", F.levenshtein("a_prefix", "b_prefix"))
-        .filter(F.col("edit_dist") <= 6)
+        pairs.withColumn(
+            "edit_dist", F.levenshtein("a_prefix", "b_prefix", 6)
+        )
+        .filter(F.col("edit_dist") >= 0)
         .select(
             F.col("id_a"),
             F.col("id_b"),
