@@ -42,7 +42,18 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 def l2_normalize(a: Column | str) -> Column:
     """a / ‖a‖₂ as array<double>; pre-normalizing once turns every cosine in
     a top-k scan into a bare dot product (the 100 TB move: normalize at
-    ingestion, not per query)."""
+    ingestion, not per query).
+
+    Shape note: the reciprocal norm is materialized via ``array_repeat``
+    (argument evaluated ONCE per row) and applied with ``zip_with`` — a
+    norm expression captured directly inside a ``transform`` lambda would
+    re-run the O(dim) fold per element, making this O(dim²) per row (the
+    round-6 lambda-capture rule, BASELINE.md). Zero vectors normalize to
+    NULL elements via the nullif guard rather than an ANSI divide error."""
     arr = _c(a)
-    n = norm(arr)
-    return F.transform(arr, lambda v: v.cast("double") / n)
+    inv = F.lit(1.0) / F.nullif(norm(arr), F.lit(0.0))
+    return F.zip_with(
+        arr,
+        F.array_repeat(inv, F.size(arr)),
+        lambda v, i: v.cast("double") * i,
+    )

@@ -697,3 +697,17 @@ def test_footer_stats_matches_oracle(spark, sf_dir, duck):
     q = REGISTRY["src_footer_stats"]
     ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
     assert ok, msg
+
+
+def test_l2_normalize_unit_norm_and_zero_guard(spark):
+    from mini_project_big_data_analysis_spark.functions.vector_fns import (
+        l2_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [([3.0, 4.0],), ([0.0, 0.0],), ([1.0, 0.0, 0.0],)], "a array<double>"
+    )
+    rows = [r.n for r in df.select(l2_normalize("a").alias("n")).collect()]
+    assert rows[0] == pytest.approx([0.6, 0.8])
+    assert rows[1] == [None, None]  # zero vector -> NULLs, not ANSI error
+    assert rows[2] == pytest.approx([1.0, 0.0, 0.0])
