@@ -402,3 +402,67 @@ def ext_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _EXACTK_K)
         .select("doc_id", "lang")
     )
+
+
+_E2E_ORACLE = f"""
+WITH gated AS (
+    SELECT doc_id, text, lang, n_chars FROM documents
+    WHERE n_chars BETWEEN 50 AND 5000 AND lang IN ('en','de','es','fr','zh')
+), keyed AS (
+    SELECT *, md5(text) AS content_key FROM gated
+), deduped AS (
+    SELECT * FROM keyed
+    QUALIFY row_number() OVER (PARTITION BY content_key ORDER BY doc_id) = 1
+), split AS (
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN {_B.format(salt='split-v1')} < 3435973836 THEN 'train'
+                WHEN {_B.format(salt='split-v1')} < 3865470566 THEN 'val'
+                ELSE 'test' END AS split
+    FROM deduped
+)
+SELECT split, lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM split
+GROUP BY split, lang
+"""
+
+
+@register("ext_pipeline_e2e", _E2E_ORACLE)
+def ext_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline END-TO-END as one composed plan — quality
+    gate → exact content dedupe (keep lowest id) → deterministic 80/10/10
+    split → per-(split, lang) dataset card — i.e. the workflow every other
+    §2.9 id is a stage of, composed the way a real corpus build runs it.
+    The oracle replays the identical chain as one CTE pipeline, so the
+    hash check covers the COMPOSITION (stage ordering, column threading,
+    dedupe-before-split) and not just each stage alone.
+
+    Scale shape: the gate is a pushable scan filter; the dedupe is one
+    hash shuffle on the content key with a rank-1 keeper (WindowGroupLimit
+    heap per map partition); the split is row-local md5 (the ext_split_hash
+    recipe — stable under re-partitioning, so reruns and incremental
+    appends never move old rows between splits); the card is one tiny
+    (split, lang) hash-agg. One real shuffle of document rows total — the
+    composition adds NO exchange beyond its most expensive stage."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    gated = docs.filter(
+        F.col("n_chars").between(50, 5000)
+        & F.col("lang").isin("en", "de", "es", "fr", "zh")
+    )
+    keyed = gated.withColumn("content_key", F.md5("text"))
+    w = Window.partitionBy("content_key").orderBy("doc_id")
+    deduped = (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    split = pipeline.hash_split(
+        deduped, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id"
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -711,3 +711,24 @@ def test_l2_normalize_unit_norm_and_zero_guard(spark):
     assert rows[0] == pytest.approx([0.6, 0.8])
     assert rows[1] == [None, None]  # zero vector -> NULLs, not ANSI error
     assert rows[2] == pytest.approx([1.0, 0.0, 0.0])
+
+
+def test_pipeline_e2e_matches_oracle(spark, sf_dir, duck):
+    q = REGISTRY["ext_pipeline_e2e"]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, msg
+
+
+def test_pipeline_e2e_stage_ordering_matters(spark, sf_dir):
+    """Dedupe-before-split is load-bearing: doc counts after the composed
+    pipeline must equal gate→dedupe cardinality, and every (split, lang)
+    doc count must be nonnegative with splits exactly {train,val,test}."""
+    rows = REGISTRY["ext_pipeline_e2e"].fn(spark, sf_dir).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gated = docs.filter(
+        F.col("n_chars").between(50, 5000)
+        & F.col("lang").isin("en", "de", "es", "fr", "zh")
+    )
+    n_unique = gated.select("text").distinct().count()
+    assert sum(r.n_docs for r in rows) == n_unique
