@@ -466,3 +466,33 @@ def ext_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_RANKNORM_ORACLE = """
+SELECT doc_id, lang,
+       round(percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id), 6) AS len_pct
+FROM documents
+"""
+
+
+@register("ext_rank_normalize", _RANKNORM_ORACLE)
+def ext_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank normalization (quantile-uniform feature transform): map each
+    doc's length to its within-language percentile — the scale-free
+    feature encoding that survives heavy-tailed distributions where
+    z-scores don't, and the first stage of quantile-gaussian transforms.
+
+    Scale shape: percent_rank runs PARTITIONED by the stratum (one
+    shuffle, every language sorts in parallel) — never as a global
+    unpartitioned window; a global variant would use the distributed-rank
+    recipe from ext_gini_concentration. The (n_chars, doc_id) tie-break
+    makes ranks — and the 6dp-rounded output — deterministic across
+    engines."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "lang", F.round(F.percent_rank().over(w), 6).alias("len_pct")
+    )

@@ -434,3 +434,42 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_frame") == _ROLLCORR_FRAME)
         .drop("n_frame")
     )
+
+
+_NTH_ORACLE = """
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       min(event_type) FILTER (WHERE rn = 3) AS third_event,
+       count(*)::BIGINT AS n_events
+FROM (
+    SELECT user_id, ts, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+)
+GROUP BY user_id
+"""
+
+
+@register("window_nth_value", _NTH_ORACLE)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window extraction: each user's THIRD event (the
+    onboarding-analytics 'what do users do after signup+first click'
+    probe) alongside first-event time and totals. Spelled as row_number +
+    conditional aggregation rather than ``nth_value`` because nth_value's
+    default frame (unbounded-preceding → current row) yields NULL until
+    row n and needs an explicit full frame — the row_number spelling is
+    frame-proof and identical in both engines. One user_id window shuffle;
+    the aggregate reuses the same partitioning."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = ev.select(
+        "user_id", "ts", "event_type", F.row_number().over(w).alias("rn")
+    )
+    return rn.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.min(F.when(F.col("rn") == 3, F.col("event_type"))).alias(
+            "third_event"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -732,3 +732,49 @@ def test_pipeline_e2e_stage_ordering_matters(spark, sf_dir):
     )
     n_unique = gated.select("text").distinct().count()
     assert sum(r.n_docs for r in rows) == n_unique
+
+
+BATCH_FINAL_IDS = ["ext_rank_normalize", "window_nth_value"]
+
+
+@pytest.mark.parametrize("qid", BATCH_FINAL_IDS)
+def test_final_batch_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_rank_normalize_is_uniform_per_stratum(spark, sf_dir):
+    rows = REGISTRY["ext_rank_normalize"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in rows:
+        assert 0.0 <= r.len_pct <= 1.0
+        by_lang[r.lang].append(r.len_pct)
+    for lang, ps in by_lang.items():
+        ps.sort()
+        assert ps[0] == 0.0  # percent_rank of the first row
+        # uniform spacing: adjacent gaps equal 1/(n-1) (all-distinct ranks)
+        n = len(ps)
+        if n > 1:
+            assert ps[-1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_nth_value_matches_python_reference(spark, sf_dir):
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet").collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    from collections import defaultdict
+
+    seq = defaultdict(list)
+    for r in ev:
+        seq[r.user_id].append(r.event_type)
+    got = {
+        r.user_id: (r.third_event, r.n_events)
+        for r in REGISTRY["window_nth_value"].fn(spark, sf_dir).collect()
+    }
+    for uid, types in seq.items():
+        third = types[2] if len(types) >= 3 else None
+        assert got[uid] == (third, len(types)), uid
