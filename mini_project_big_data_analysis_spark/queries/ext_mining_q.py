@@ -344,3 +344,66 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_wedges = wedge.agg(F.count(F.lit(1)).alias("n_wedges"))
     n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     return n_edges.join(n_wedges).join(n_tri)
+
+
+# ---------------------------------------------------------------------------
+# ext_graph_degree_dist — degree distribution of the citation graph
+# ---------------------------------------------------------------------------
+
+
+def _degree_oracle() -> str:
+    edges = " UNION ALL ".join(
+        _PR_EDGES_SQL.format(a=a, b=b) for a, b in [(31, 7), (57, 13), (91, 3)]
+    )
+    return f"""
+WITH edges_raw AS ({edges}),
+und AS (
+    SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+    FROM edges_raw WHERE src <> dst
+),
+deg AS (
+    SELECT node, count(*)::BIGINT AS degree
+    FROM (SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)
+    GROUP BY node
+)
+SELECT degree, count(*)::BIGINT AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
+@register("ext_graph_degree_dist", _degree_oracle())
+def ext_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the (undirected, deduplicated) citation
+    graph — the first thing run on any link graph: its shape separates
+    organic link structure from spam farms and decides whether PageRank /
+    triangle counting need skew treatment (the hub tail IS the skew).
+
+    Scale shape: edges canonicalize and dedupe in one hash-agg; per-node
+    degree = one count over the exploded endpoints (UNION ALL is
+    plan-level concatenation, no shuffle of its own); the histogram
+    re-aggregates node-grain counts into degree-grain rows — output is
+    max-degree-sized, tiny regardless of graph size. Same graph
+    construction as ext_link_pagerank/ext_triangle_count, so the three
+    read as one coherent graph-analytics family."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_df = docs.agg(F.count(F.lit(1)).alias("cnt"))
+    edges_raw = None
+    for a, b in [(31, 7), (57, 13), (91, 3)]:
+        e = docs.join(F.broadcast(n_df)).select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % F.col("cnt")).alias("dst"),
+        )
+        edges_raw = e if edges_raw is None else edges_raw.unionByName(e)
+    und = (
+        edges_raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .distinct()
+    )
+    nodes = und.select(F.col("lo").alias("node")).unionByName(
+        und.select(F.col("hi").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -310,3 +310,76 @@ def ext_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > 3.841459).alias("srm_detected"),
     )
+
+
+_RFM_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           date_diff('day', max(date_trunc('day', ts)),
+                     DATE '2024-02-01') AS recency_days,
+           count(*)::BIGINT AS frequency,
+           round(sum(value), 6) AS monetary
+    FROM events GROUP BY user_id
+), scored AS (
+    SELECT *,
+           ntile(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+           ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+           ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+    FROM per_user
+)
+SELECT r_score, f_score, m_score,
+       count(*)::BIGINT AS n_users,
+       round(avg(monetary), 6) AS avg_monetary
+FROM scored
+GROUP BY r_score, f_score, m_score
+"""
+
+
+@register("ext_user_rfm", _RFM_ORACLE)
+def ext_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles, the
+    classic CRM / engagement-tier model): per user days-since-last-activity
+    against a fixed anchor date, event count, and value sum, each scored
+    into quintiles (1 = best), rolled up to segment-cell counts.
+
+    Scale shape: the log collapses to USER grain first (one hash-agg —
+    map-side partials do the heavy lifting); the three ntile windows run
+    over user-grain rows. They are spelled as unpartitioned windows here
+    because the fixture's user domain is tiny; the at-scale spelling is
+    either the distributed-rank recipe (ext_gini_concentration) or
+    approx_percentile cut points + row-local CASE — both documented, same
+    output contract. Deterministic ntile via explicit user_id tie-breaks;
+    the anchor date is pinned so recency is reproducible."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit("2024-02-01").cast("date"),
+            F.max(F.date_trunc("day", "ts")).cast("date"),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 6).alias("monetary"),
+    )
+    scored = (
+        per_user.withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy("recency_days", "user_id")),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(
+                Window.orderBy(F.col("frequency").desc(), "user_id")
+            ),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(
+                Window.orderBy(F.col("monetary").desc(), "user_id")
+            ),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+    )

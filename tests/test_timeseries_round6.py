@@ -778,3 +778,33 @@ def test_nth_value_matches_python_reference(spark, sf_dir):
     for uid, types in seq.items():
         third = types[2] if len(types) >= 3 else None
         assert got[uid] == (third, len(types)), uid
+
+
+BATCH13_IDS = ["ext_user_rfm", "ext_graph_degree_dist"]
+
+
+@pytest.mark.parametrize("qid", BATCH13_IDS)
+def test_batch13_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_rfm_covers_all_users_with_valid_scores(spark, sf_dir):
+    rows = REGISTRY["ext_user_rfm"].fn(spark, sf_dir).collect()
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+
+
+def test_degree_distribution_conserves_nodes_and_edges(spark, sf_dir):
+    rows = REGISTRY["ext_graph_degree_dist"].fn(spark, sf_dir).collect()
+    tri = REGISTRY["ext_triangle_count"].fn(spark, sf_dir).collect()[0]
+    # handshake lemma: sum(degree * n_nodes) = 2 * |E|
+    assert sum(r.degree * r.n_nodes for r in rows) == 2 * tri.n_edges
