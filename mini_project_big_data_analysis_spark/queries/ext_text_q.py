@@ -463,3 +463,64 @@ def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(ratio(F.col("text")), 4).alias("comp_ratio"),
     ).withColumn("is_repetitive", F.col("comp_ratio") < 0.35)
+
+
+def _confusion_oracle() -> str:
+    ratios = {
+        lang: _stop_ratio_sql(words) for lang, words in text_fns.STOPWORDS.items()
+    }
+    r_cols = ",\n    ".join(f"{expr} AS r_{lang}" for lang, expr in ratios.items())
+    langs = list(text_fns.STOPWORDS)
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND r_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+    {r_cols}
+  FROM documents
+), guessed AS (
+  SELECT lang AS declared, {case} AS detected FROM scored
+)
+SELECT declared, detected,
+       count(*)::BIGINT AS n_docs,
+       round(count(*)::DOUBLE
+             / sum(count(*)) OVER (PARTITION BY declared), 6) AS row_share
+FROM guessed
+GROUP BY declared, detected
+"""
+
+
+@register("ext_lang_confusion", _confusion_oracle())
+def ext_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language CONFUSION MATRIX — the metadata-trust
+    audit run before using crawl-declared language tags as training labels
+    (a strong diagonal ⇒ the tags are usable; off-diagonal mass shows
+    which declared languages are actually mislabeled or code-mixed). Rows
+    carry within-declared-language shares so each matrix row reads as a
+    distribution.
+
+    Scale shape: detection is the staged one-pass lang-ID frame
+    (with_lang_quality — tokens split once per row), the matrix is one
+    (declared, detected) hash-agg bounded by |langs|² rows, and the row
+    shares re-aggregate the collapsed matrix with a tiny window — nothing
+    after the scan touches document grain twice."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    guessed = text_fns.with_lang_quality(docs).select(
+        F.col("lang").alias("declared"), F.col("lang_guess").alias("detected")
+    )
+    cells = guessed.groupBy("declared", "detected").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("declared")
+    return cells.select(
+        "declared",
+        "detected",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("row_share"),
+    )

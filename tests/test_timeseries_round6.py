@@ -808,3 +808,21 @@ def test_degree_distribution_conserves_nodes_and_edges(spark, sf_dir):
     tri = REGISTRY["ext_triangle_count"].fn(spark, sf_dir).collect()[0]
     # handshake lemma: sum(degree * n_nodes) = 2 * |E|
     assert sum(r.degree * r.n_nodes for r in rows) == 2 * tri.n_edges
+
+
+def test_lang_confusion_matches_oracle(spark, sf_dir, duck):
+    q = REGISTRY["ext_lang_confusion"]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, msg
+
+
+def test_lang_confusion_rows_are_distributions(spark, sf_dir):
+    rows = REGISTRY["ext_lang_confusion"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    share = defaultdict(float)
+    for r in rows:
+        share[r.declared] += r.row_share
+    assert share and all(abs(s - 1.0) < 1e-4 for s in share.values())
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
