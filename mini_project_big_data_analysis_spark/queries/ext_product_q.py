@@ -383,3 +383,129 @@ def ext_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.round(F.avg("monetary"), 6).alias("avg_monetary"),
     )
+
+
+_SMOOTH_ALPHA = 50.0  # pseudo-count strength of the global prior
+
+_SMOOTH_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           count(*)::DOUBLE AS n,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+               AS conv
+    FROM events GROUP BY user_id
+), prior AS (
+    SELECT sum(conv) / sum(n) AS p FROM per_user
+)
+SELECT user_id,
+       n::BIGINT AS n_events,
+       conv::BIGINT AS n_purchases,
+       round(conv / n, 6) AS raw_rate,
+       round((conv + {_SMOOTH_ALPHA} * prior.p) / (n + {_SMOOTH_ALPHA}), 6)
+           AS smoothed_rate
+FROM per_user CROSS JOIN prior
+"""
+
+
+@register("ext_smoothed_rates", _SMOOTH_ORACLE)
+def ext_smoothed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes rate smoothing: each user's purchase rate shrunk
+    toward the global prior with pseudo-count strength 50 — the standard
+    fix for ranking/segmenting on rates when per-entity volume varies by
+    orders of magnitude (a 1/2 user must not outrank a 40/100 user). The
+    same shrinkage serves CTR features and low-volume segment dashboards.
+
+    Scale shape: the log collapses to entity grain in one hash-agg; the
+    global prior is a 1-row aggregate broadcast into a row-local formula —
+    no second pass over events, no window. Output stays entity-grain."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("conv"),
+    )
+    prior = per_user.agg((F.sum("conv") / F.sum("n")).alias("p"))
+    return per_user.join(F.broadcast(prior)).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("conv").cast("bigint").alias("n_purchases"),
+        F.round(F.col("conv") / F.col("n"), 6).alias("raw_rate"),
+        F.round(
+            (F.col("conv") + _SMOOTH_ALPHA * F.col("p"))
+            / (F.col("n") + _SMOOTH_ALPHA),
+            6,
+        ).alias("smoothed_rate"),
+    )
+
+
+_POWER_Z = 2.8016  # z_{0.025} + z_{0.2}: 80% power at alpha = 0.05 two-sided
+
+_POWER_ORACLE = f"""
+WITH armed AS (
+    SELECT event_type, value, {{arm}} AS arm
+    FROM events WHERE value IS NOT NULL
+), stats AS (
+    SELECT event_type,
+           count(*) FILTER (WHERE arm = 'A')::DOUBLE AS n_a,
+           count(*) FILTER (WHERE arm = 'B')::DOUBLE AS n_b,
+           var_samp(value) AS pooled_var
+    FROM armed GROUP BY event_type
+)
+SELECT event_type,
+       n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       round(pooled_var, 6) AS pooled_var,
+       round({_POWER_Z} * sqrt(pooled_var * (1.0 / n_a + 1.0 / n_b)), 6)
+           AS mde_abs
+FROM stats
+"""
+
+
+@register("ext_ab_power", _POWER_ORACLE.format(arm=_AB_ARM))
+def ext_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment POWER analysis: per metric (event type), the minimum
+    detectable effect at 80% power / alpha 0.05 given the realized arm
+    sizes and variance — mde = 2.8016·σ·sqrt(1/n_a + 1/n_b). Closes the
+    experimentation suite (hash split → SRM guard → Welch readout →
+    power): a 'no significant difference' readout is only interpretable
+    next to the effect size the experiment could actually detect.
+
+    Scale shape: arm assignment is the shared row-local md5 recipe; one
+    conditional-aggregation pass per type computes counts and variance
+    (single-pass co-moments); the MDE is row-local arithmetic on the
+    5-row stats table."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    arm_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit("ab-v1"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    armed = ev.select(
+        "event_type",
+        "value",
+        F.when(arm_hash < 2147483648, "A").otherwise("B").alias("arm"),
+    )
+    stats = armed.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("double")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("double")
+        .alias("n_b"),
+        F.var_samp("value").alias("pooled_var"),
+    )
+    return stats.select(
+        "event_type",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("pooled_var", 6).alias("pooled_var"),
+        F.round(
+            _POWER_Z
+            * F.sqrt(
+                F.col("pooled_var") * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+            6,
+        ).alias("mde_abs"),
+    )

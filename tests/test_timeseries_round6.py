@@ -826,3 +826,36 @@ def test_lang_confusion_rows_are_distributions(spark, sf_dir):
     assert share and all(abs(s - 1.0) < 1e-4 for s in share.values())
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(r.n_docs for r in rows) == n_docs
+
+
+BATCH15_IDS = ["ext_smoothed_rates", "ext_ab_power"]
+
+
+@pytest.mark.parametrize("qid", BATCH15_IDS)
+def test_batch15_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_smoothing_shrinks_toward_prior_monotonically(spark, sf_dir):
+    """Shrinkage property: every smoothed rate sits BETWEEN the raw rate
+    and the global prior, and lower-volume users shrink more."""
+    rows = REGISTRY["ext_smoothed_rates"].fn(spark, sf_dir).collect()
+    tot_n = sum(r.n_events for r in rows)
+    tot_c = sum(r.n_purchases for r in rows)
+    prior = tot_c / tot_n
+    for r in rows:
+        lo, hi = sorted((r.raw_rate, round(prior, 4)))
+        assert lo - 1e-4 <= r.smoothed_rate <= hi + 1e-4, r
+
+
+def test_mde_shrinks_with_sample_size(spark, sf_dir):
+    """More data ⇒ smaller detectable effect: recomputing the MDE with
+    doubled arm sizes must shrink it by ~1/sqrt(2)."""
+    import math
+
+    for r in REGISTRY["ext_ab_power"].fn(spark, sf_dir).collect():
+        assert r.mde_abs > 0
+        mde2 = 2.8016 * math.sqrt(r.pooled_var * (1 / (2 * r.n_a) + 1 / (2 * r.n_b)))
+        assert mde2 == pytest.approx(r.mde_abs / math.sqrt(2), rel=1e-6)
