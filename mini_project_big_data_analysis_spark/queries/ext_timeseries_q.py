@@ -688,3 +688,208 @@ def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_changepoint_meanshift — binary-segmentation changepoint per series
+# ---------------------------------------------------------------------------
+
+_CHANGEPOINT_ORACLE = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, count(*)::DOUBLE AS n
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+), idx AS (
+    SELECT event_type, h, n,
+           row_number() OVER w AS i,
+           sum(n) OVER w AS s,
+           count(*) OVER (PARTITION BY event_type) AS cnt,
+           sum(n) OVER (PARTITION BY event_type) AS tot
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING)
+), scored AS (
+    SELECT event_type, h, i, cnt,
+           round(abs(s / i - (tot - s) / (cnt - i))
+                 * sqrt(i * (cnt - i) / cnt::DOUBLE), 6) AS shift_score
+    FROM idx WHERE i < cnt
+), best AS (
+    SELECT event_type, h, shift_score,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY shift_score DESC, h) AS rk
+    FROM scored
+)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS split_hour,
+       shift_score
+FROM best WHERE rk = 1
+"""
+
+
+@register("ext_changepoint_meanshift", _CHANGEPOINT_ORACLE)
+def ext_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection, binary-segmentation step: for each type's
+    hourly rate series, the split hour maximizing the standardized
+    before/after mean shift |μ_L − μ_R|·sqrt(i(n−i)/n) — the CUSUM-family
+    statistic behind 'when did the rate regime change', and the recursive
+    unit of full binary segmentation (re-run on each side).
+
+    Scale shape: the log collapses to hour grain first; ONE ordered window
+    per type yields index + prefix sum, so every candidate split is scored
+    from two numbers — no per-split re-aggregation, no self-join (the
+    naive spelling is O(n²) per series); the argmax is a rank-1 filter.
+    The score rounds BEFORE ranking with an (score DESC, h) tie-break so
+    both engines pick the identical split."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    idx = hourly.select(
+        "event_type",
+        "h",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("h"))
+        .alias("i"),
+        F.sum("n").over(w).alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+        F.sum("n").over(w_all).alias("tot"),
+    )
+    scored = idx.filter(F.col("i") < F.col("cnt")).select(
+        "event_type",
+        "h",
+        F.round(
+            F.abs(
+                F.col("s") / F.col("i")
+                - (F.col("tot") - F.col("s")) / (F.col("cnt") - F.col("i"))
+            )
+            * F.sqrt(
+                F.col("i")
+                * (F.col("cnt") - F.col("i"))
+                / F.col("cnt").cast("double")
+            ),
+            6,
+        ).alias("shift_score"),
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.col("shift_score").desc(), "h"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("split_hour"),
+            "shift_score",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_psi_stability — Population Stability Index between time halves
+# ---------------------------------------------------------------------------
+
+_PSI_EPS = 1e-6
+
+_PSI_ORACLE = f"""
+WITH ref AS (
+    SELECT value FROM events
+    WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16'
+), cur AS (
+    SELECT value FROM events
+    WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'
+), cuts AS (
+    SELECT quantile_cont(value, 0.1) c1, quantile_cont(value, 0.2) c2,
+           quantile_cont(value, 0.3) c3, quantile_cont(value, 0.4) c4,
+           quantile_cont(value, 0.5) c5, quantile_cont(value, 0.6) c6,
+           quantile_cont(value, 0.7) c7, quantile_cont(value, 0.8) c8,
+           quantile_cont(value, 0.9) c9
+    FROM ref
+), bucketed AS (
+    SELECT period, CASE WHEN value < c1 THEN 1 WHEN value < c2 THEN 2
+                        WHEN value < c3 THEN 3 WHEN value < c4 THEN 4
+                        WHEN value < c5 THEN 5 WHEN value < c6 THEN 6
+                        WHEN value < c7 THEN 7 WHEN value < c8 THEN 8
+                        WHEN value < c9 THEN 9 ELSE 10 END AS bucket
+    FROM (SELECT 'ref' AS period, value FROM ref
+          UNION ALL SELECT 'cur', value FROM cur) u
+    CROSS JOIN cuts
+), shares AS (
+    SELECT bucket,
+           greatest(count(*) FILTER (WHERE period = 'ref')::DOUBLE
+                    / (SELECT count(*) FROM ref), {_PSI_EPS}) AS p,
+           greatest(count(*) FILTER (WHERE period = 'cur')::DOUBLE
+                    / (SELECT count(*) FROM cur), {_PSI_EPS}) AS q
+    FROM bucketed GROUP BY bucket
+)
+SELECT bucket,
+       round(p, 6) AS p_ref, round(q, 6) AS q_cur,
+       round((p - q) * ln(p / q), 6) AS psi_term
+FROM shares
+"""
+
+
+@register("ext_psi_stability", _PSI_ORACLE)
+def ext_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of the
+    month, on reference-decile buckets of the value distribution — THE
+    model-monitoring drift gauge (PSI > 0.2 = retrain alarm); complements
+    KS (max gap) with a mass-weighted decomposition showing WHICH deciles
+    moved.
+
+    Scale shape: decile cut points are one exact-percentile aggregate over
+    the reference slice (approx_percentile swaps in at 100 TB), broadcast
+    as a 1-row literal into a row-local 10-branch CASE — bucketing never
+    shuffles; the share table is one (period, bucket) hash-agg of 20 rows.
+    Epsilon-flooring both shares identically keeps empty current-buckets
+    finite on both engines."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cut_ts = F.lit("2024-01-16").cast("timestamp")
+    ref = ev.filter(F.col("ts") < cut_ts)
+    cur = ev.filter(F.col("ts") >= cut_ts)
+    cuts = ref.agg(
+        *[
+            F.percentile("value", q).alias(f"c{i}")
+            for i, q in enumerate(
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9], start=1
+            )
+        ]
+    )
+    u = ref.select(F.lit("ref").alias("period"), "value").unionByName(
+        cur.select(F.lit("cur").alias("period"), "value")
+    )
+    bucket = F.lit(10)
+    for i in range(9, 0, -1):
+        bucket = F.when(F.col("value") < F.col(f"c{i}"), i).otherwise(bucket)
+    n_ref = ref.count()
+    n_cur = cur.count()
+    shares = (
+        u.join(F.broadcast(cuts))
+        .select("period", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.greatest(
+                F.sum(F.when(F.col("period") == "ref", 1).otherwise(0))
+                .cast("double")
+                / n_ref,
+                F.lit(_PSI_EPS),
+            ).alias("p"),
+            F.greatest(
+                F.sum(F.when(F.col("period") == "cur", 1).otherwise(0))
+                .cast("double")
+                / n_cur,
+                F.lit(_PSI_EPS),
+            ).alias("q"),
+        )
+    )
+    return shares.select(
+        "bucket",
+        F.round("p", 6).alias("p_ref"),
+        F.round("q", 6).alias("q_cur"),
+        F.round(
+            (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6
+        ).alias("psi_term"),
+    )

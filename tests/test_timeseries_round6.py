@@ -859,3 +859,63 @@ def test_mde_shrinks_with_sample_size(spark, sf_dir):
         assert r.mde_abs > 0
         mde2 = 2.8016 * math.sqrt(r.pooled_var * (1 / (2 * r.n_a) + 1 / (2 * r.n_b)))
         assert mde2 == pytest.approx(r.mde_abs / math.sqrt(2), rel=1e-6)
+
+
+BATCH16_IDS = ["ext_changepoint_meanshift", "ext_psi_stability"]
+
+
+@pytest.mark.parametrize("qid", BATCH16_IDS)
+def test_batch16_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_changepoint_finds_planted_shift(spark):
+    """A series with a real level shift must split exactly at the shift."""
+    from datetime import datetime, timedelta
+
+    rows = []
+    base = datetime(2024, 3, 1)
+    for h in range(40):
+        rate = 2 if h < 25 else 20  # shift after hour 24
+        for k in range(rate):
+            rows.append(("t", base + timedelta(hours=h, seconds=k), float(k), h * 100 + k))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double, event_id long")
+    df.createOrReplaceTempView("_cp_probe")
+    hourly = df.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("event_type")
+    idx = hourly.select(
+        "h",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("h")).alias("i"),
+        F.sum("n").over(w).alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+        F.sum("n").over(w_all).alias("tot"),
+    )
+    scored = idx.filter(F.col("i") < F.col("cnt")).select(
+        "h",
+        (
+            F.abs(F.col("s") / F.col("i") - (F.col("tot") - F.col("s")) / (F.col("cnt") - F.col("i")))
+            * F.sqrt(F.col("i") * (F.col("cnt") - F.col("i")) / F.col("cnt").cast("double"))
+        ).alias("score"),
+    )
+    best = scored.orderBy(F.col("score").desc(), "h").first()
+    assert best.h == datetime(2024, 3, 1, 0) + timedelta(hours=24)
+
+
+def test_psi_terms_are_nonnegative_and_buckets_complete(spark, sf_dir):
+    rows = REGISTRY["ext_psi_stability"].fn(spark, sf_dir).collect()
+    assert sorted(r.bucket for r in rows) == list(range(1, 11))
+    for r in rows:
+        # (p-q)·ln(p/q) >= 0 always (same sign factors)
+        assert r.psi_term >= -1e-9
+    # reference deciles: each p_ref ≈ 0.1
+    for r in rows:
+        assert r.p_ref == pytest.approx(0.1, abs=0.02)
