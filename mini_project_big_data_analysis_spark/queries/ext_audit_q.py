@@ -411,3 +411,59 @@ def ext_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'min_row_count', n_rows, n_rows >= 1000.0"
         ") AS (rule, metric, passed)"
     )
+
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+    SELECT substr(CAST(floor(o_totalprice) AS BIGINT)::VARCHAR, 1, 1)::BIGINT
+               AS d
+    FROM orders WHERE o_totalprice >= 1
+), counts AS (
+    SELECT d, count(*)::DOUBLE AS n FROM digits GROUP BY d
+), tot AS (SELECT sum(n) AS t FROM counts)
+SELECT d AS leading_digit,
+       n::BIGINT AS n_values,
+       round(n / tot.t, 6) AS observed_p,
+       round(log10(1.0 + 1.0 / d), 6) AS benford_p,
+       round((n / tot.t - log10(1.0 + 1.0 / d))
+             * (n / tot.t - log10(1.0 + 1.0 / d))
+             / log10(1.0 + 1.0 / d) * tot.t, 6) AS chi2_term
+FROM counts CROSS JOIN tot
+"""
+
+
+@register("ext_benford_audit", _BENFORD_ORACLE)
+def ext_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed leading-digit
+    shares against log10(1 + 1/d) with per-digit chi-square contributions
+    — the forensic screen for fabricated or mis-generated monetary data
+    (organic multiplicative amounts follow Benford; uniform generators —
+    like this synthetic fixture — light up every digit's chi² term, which
+    is itself a useful synthetic-data tell).
+
+    Scale shape: the leading digit is row-local string arithmetic (no log
+    rounding edge: floor→string→first char is exact); the distribution is
+    a 9-row hash-agg with map-side combine; expectation and chi² terms
+    are literals-on-aggregates. Nothing leaves the executors but 9
+    rows."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    benford_p = F.log10(1.0 + 1.0 / F.col("d"))
+    obs = F.col("n") / F.col("t")
+    return counts.join(F.broadcast(tot)).select(
+        F.col("d").alias("leading_digit"),
+        F.col("n").cast("bigint").alias("n_values"),
+        F.round(obs, 6).alias("observed_p"),
+        F.round(benford_p, 6).alias("benford_p"),
+        F.round(
+            (obs - benford_p) * (obs - benford_p) / benford_p * F.col("t"), 6
+        ).alias("chi2_term"),
+    )

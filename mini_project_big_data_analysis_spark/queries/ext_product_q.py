@@ -509,3 +509,97 @@ def ext_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mde_abs"),
     )
+
+
+_LIFT_ORACLE = """
+WITH baskets AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+    FROM events
+), n_baskets AS (
+    SELECT count(DISTINCT (user_id, day)) AS nb
+    FROM baskets
+), singles AS (
+    SELECT event_type, count(*)::DOUBLE AS n FROM baskets
+    GROUP BY event_type
+), pairs AS (
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           count(*)::DOUBLE AS n_ab
+    FROM baskets a JOIN baskets b
+      ON a.user_id = b.user_id AND a.day = b.day
+     AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+)
+SELECT item_a, item_b,
+       n_ab::BIGINT AS n_baskets_ab,
+       round(n_ab / nb, 6) AS support,
+       round(n_ab / sa.n, 6) AS confidence_a_to_b,
+       round(n_ab * nb / (sa.n * sb.n), 6) AS lift
+FROM pairs
+JOIN singles sa ON sa.event_type = item_a
+JOIN singles sb ON sb.event_type = item_b
+CROSS JOIN n_baskets
+"""
+
+
+@register("ext_basket_lift", _LIFT_ORACLE)
+def ext_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over (user, day) baskets: support, confidence and
+    LIFT for every event-type pair — the market-basket/frequent-itemset
+    family (lift > 1 ⇒ the types co-occur beyond chance; the
+    cross-sell / journey-affinity primitive, and at k=2 the exact core of
+    Apriori).
+
+    Scale shape: the log collapses to DISTINCT (basket, item) rows first
+    (one hash-agg — the row count is baskets × avg distinct items, not
+    events); the pair self-join keys on the basket id with an a<b
+    orientation so each pair counts once; item marginals and the basket
+    total re-aggregate the collapsed table and join back at |items|²
+    grain. With a small item domain everything after the first agg is
+    broadcast-sized; for web-scale item domains the standard refinement
+    (count only pairs passing a min-support prefilter) drops in before
+    the join."""
+    ev = load(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).distinct()
+    nb = baskets.select("user_id", "day").distinct().count()
+    singles = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("item_a"), F.col("n").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("item_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_ab").cast("bigint").alias("n_baskets_ab"),
+            F.round(F.col("n_ab") / nb, 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("n_ab") * nb / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )

@@ -919,3 +919,34 @@ def test_psi_terms_are_nonnegative_and_buckets_complete(spark, sf_dir):
     # reference deciles: each p_ref ≈ 0.1
     for r in rows:
         assert r.p_ref == pytest.approx(0.1, abs=0.02)
+
+
+BATCH17_IDS = ["ext_basket_lift", "ext_benford_audit"]
+
+
+@pytest.mark.parametrize("qid", BATCH17_IDS)
+def test_batch17_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_lift_symmetry_and_bounds(spark, sf_dir):
+    """Lift is symmetric in its definition (a<b orientation just dedupes);
+    support ≤ min marginal share; confidence ∈ (0, 1]."""
+    rows = REGISTRY["ext_basket_lift"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.support <= 1
+        assert 0 < r.confidence_a_to_b <= 1
+        assert r.lift > 0
+        assert r.item_a < r.item_b  # orientation: each pair once
+
+
+def test_benford_probabilities_sum_to_one(spark, sf_dir):
+    rows = REGISTRY["ext_benford_audit"].fn(spark, sf_dir).collect()
+    assert sorted(r.leading_digit for r in rows) == list(range(1, 10))
+    assert abs(sum(r.observed_p for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_p for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.chi2_term >= 0
