@@ -893,3 +893,106 @@ def ext_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6
         ).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_seasonality_index — hour-of-day load profile per series
+# ---------------------------------------------------------------------------
+
+_SEASON_ORACLE = """
+WITH hourly AS (
+    SELECT event_type, extract(hour FROM ts)::BIGINT AS hod,
+           count(*)::DOUBLE AS n
+    FROM events GROUP BY event_type, extract(hour FROM ts)
+), tot AS (
+    SELECT event_type, sum(n) AS t FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hod,
+       h.n::BIGINT AS n_events,
+       round(h.n / t.t * 24.0, 6) AS seasonal_index
+FROM hourly h JOIN tot t USING (event_type)
+"""
+
+
+@register("ext_seasonality_index", _SEASON_ORACLE)
+def ext_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality index per event type: observed share of a
+    type's events in each hour × 24, so 1.0 = flat, 2.0 = double the
+    uniform rate — the load profile that (a) validates the burst
+    detector's trailing baseline (strong seasonality needs a same-hour
+    baseline instead) and (b) drives capacity scheduling.
+
+    Scale shape: the log collapses straight to (type, hour-of-day) —
+    ≤ 24·|types| rows — in one hash-agg with map-side combine; totals
+    re-aggregate the collapsed profile and join back broadcast-sized.
+    Row-local `extract(hour)`, no windows, nothing at event grain after
+    the scan."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hod")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = hourly.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return hourly.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hod",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("n") / F.col("t") * 24.0, 6).alias("seasonal_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_vocab_growth — vocabulary growth curve (Heaps' law audit)
+# ---------------------------------------------------------------------------
+
+_VOCAB_BUCKET = 50  # docs per curve point
+
+_VOCAB_GROWTH_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+), first_seen AS (
+    SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
+), per_bucket AS (
+    SELECT (first_doc // {_VOCAB_BUCKET})::BIGINT AS bucket,
+           count(*)::BIGINT AS new_tokens
+    FROM first_seen GROUP BY first_doc // {_VOCAB_BUCKET}
+)
+SELECT bucket, new_tokens,
+       sum(new_tokens) OVER (ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS vocab_size
+FROM per_bucket
+"""
+
+
+@register("ext_vocab_growth", _VOCAB_GROWTH_ORACLE)
+def ext_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law audit): tokens attributed to
+    the document where they FIRST appear, rolled into 50-doc curve points
+    with the cumulative vocabulary size — the corpus-diversity diagnostic
+    (a flattening curve means new data is mostly repeating the old: the
+    collect-more-data stopping signal; a linear one means heavy novelty —
+    or an ID/noise column leaking into text).
+
+    Scale shape: first-seen = one min-aggregate over the exploded tokens
+    (map-side combine collapses the Zipf head); the curve is a bucket-grain
+    re-agg (corpus_size/50 rows) and the running total is a window over
+    those few rows. No sort of the token stream, no per-doc set
+    intersection — novelty falls out of min(doc_id)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket = first_seen.groupBy(
+        F.floor(F.col("first_doc") / _VOCAB_BUCKET)
+        .cast("bigint")
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
+    )

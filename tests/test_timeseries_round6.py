@@ -950,3 +950,44 @@ def test_benford_probabilities_sum_to_one(spark, sf_dir):
     assert abs(sum(r.benford_p for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert r.chi2_term >= 0
+
+
+BATCH18_IDS = ["ext_seasonality_index", "ext_vocab_growth"]
+
+
+@pytest.mark.parametrize("qid", BATCH18_IDS)
+def test_batch18_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_seasonal_index_averages_to_one(spark, sf_dir):
+    rows = REGISTRY["ext_seasonality_index"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    share = defaultdict(float)
+    for r in rows:
+        assert r.seasonal_index > 0
+        share[r.event_type] += r.seasonal_index
+    # Σ over 24 hours of (share × 24) = 24 exactly when all hours present
+    for etype, s in share.items():
+        assert s == pytest.approx(24.0, abs=0.01), etype
+
+
+def test_vocab_growth_is_monotone_and_totals_vocab(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["ext_vocab_growth"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    prev = 0
+    for r in rows:
+        assert r.new_tokens > 0
+        assert r.vocab_size == prev + r.new_tokens
+        prev = r.vocab_size
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    vocab = set()
+    for d in docs:
+        vocab.update(d.text.strip().split())
+    assert rows[-1].vocab_size == len(vocab)
