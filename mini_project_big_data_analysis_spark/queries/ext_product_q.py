@@ -603,3 +603,71 @@ def ext_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_LTV_ORACLE = """
+WITH firsts AS (
+    SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+    FROM events GROUP BY user_id
+), revenue AS (
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS offset_days,
+           sum(e.value) AS v
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_day, date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+), sized AS (
+    SELECT cohort_day, count(*)::DOUBLE AS cohort_users
+    FROM firsts GROUP BY cohort_day
+)
+SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+       r.offset_days::BIGINT AS offset_days,
+       round(sum(r.v) OVER (PARTITION BY r.cohort_day ORDER BY r.offset_days
+                            ROWS UNBOUNDED PRECEDING)
+             / s.cohort_users, 6) AS cum_value_per_user
+FROM revenue r JOIN sized s USING (cohort_day)
+"""
+
+
+@register("ext_cohort_ltv", _LTV_ORACLE)
+def ext_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative value per user by days-since-first-
+    activity, one curve per acquisition-day cohort — the revenue twin of
+    the retention triangle (ext_retention_cohorts), and the payback-period
+    readout growth teams steer spend with.
+
+    Scale shape: first-activity = one user hash-agg; the log joins to its
+    cohort label on user_id (shuffle) and collapses immediately to
+    (cohort, offset) grain — the curve table is days², tiny — before the
+    running-sum window and the per-user normalization (cohort sizes
+    broadcast back). No event-grain windows anywhere."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    revenue = (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias(
+                "offset_days"
+            ),
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    sized = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("double").alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("offset_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return revenue.join(F.broadcast(sized), "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("offset_days").cast("bigint").alias("offset_days"),
+        F.round(
+            F.sum("v").over(w) / F.col("cohort_users"), 6
+        ).alias("cum_value_per_user"),
+    )

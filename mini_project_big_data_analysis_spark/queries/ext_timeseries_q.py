@@ -996,3 +996,53 @@ def ext_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_tokens",
         F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_percentile_bands — hourly p50/p90/p99 value bands per series
+# ---------------------------------------------------------------------------
+
+_BANDS_ORACLE = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+       count(value)::BIGINT AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+@register("ext_percentile_bands", _BANDS_ORACLE)
+def ext_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly p50/p90/p99 value bands per event type — the latency-
+    percentile time series every SLO dashboard is built on (means hide
+    tail regressions; the p99 band is where incidents live).
+
+    Scale shape: one grouped aggregation computes all three EXACT
+    percentiles in a single pass per (type, hour) group — Spark's
+    ``percentile`` accepts an array of fractions, so the sort-per-group
+    happens once, not three times. Groups are hour-bounded, so per-group
+    state is one hour of values; the documented 100 TB swap-in is
+    approx_percentile(value, array(...), 10000) on the identical plan
+    (mergeable sketches, no per-group sort)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pct = F.percentile("value", [0.5, 0.9, 0.99])
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("value").alias("n"),
+            F.round(pct[0], 6).alias("p50"),
+            F.round(pct[1], 6).alias("p90"),
+            F.round(pct[2], 6).alias("p99"),
+        )
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            "n",
+            "p50",
+            "p90",
+            "p99",
+        )
+    )

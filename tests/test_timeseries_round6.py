@@ -991,3 +991,34 @@ def test_vocab_growth_is_monotone_and_totals_vocab(spark, sf_dir):
     for d in docs:
         vocab.update(d.text.strip().split())
     assert rows[-1].vocab_size == len(vocab)
+
+
+BATCH19_IDS = ["ext_cohort_ltv", "ext_percentile_bands"]
+
+
+@pytest.mark.parametrize("qid", BATCH19_IDS)
+def test_batch19_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_ltv_curves_are_monotone_per_cohort(spark, sf_dir):
+    rows = REGISTRY["ext_cohort_ltv"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    curves = defaultdict(list)
+    for r in rows:
+        curves[r.cohort_day].append((r.offset_days, r.cum_value_per_user))
+    assert curves
+    for day, pts in curves.items():
+        pts.sort()
+        assert pts[0][0] == 0  # cohort day itself always has revenue rows
+        vals = [v for _, v in pts]
+        assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:])), day
+
+
+def test_percentile_bands_are_ordered(spark, sf_dir):
+    for r in REGISTRY["ext_percentile_bands"].fn(spark, sf_dir).collect():
+        assert r.p50 <= r.p90 <= r.p99
+        assert r.n > 0
