@@ -591,3 +591,42 @@ def ext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("island")
     )
+
+
+_KEEPBEST_ORACLE = """
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars, md5(text) AS content_key FROM documents
+)
+SELECT doc_id, lang, n_chars
+FROM keyed
+QUALIFY row_number() OVER (PARTITION BY content_key
+                           ORDER BY n_chars DESC, doc_id) = 1
+"""
+
+
+@register("ext_dedup_keep_best", _KEEPBEST_ORACLE)
+def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a QUALITY keeper policy: among content-identical
+    docs keep the one maximizing (n_chars, then lowest id) rather than the
+    arbitrary/minimum-id row — the policy choice that matters in practice
+    because duplicate clusters often mix truncated and full copies, and
+    'keep first seen' silently prefers the truncation.
+
+    Scale shape: identical to the min-id exact tier (one content-key
+    shuffle, rank-1 keeper through WindowGroupLimit) — the keeper policy
+    is purely the window's ORDER BY, which is the point: swapping
+    curation policy costs zero plan changes."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("content_key")
+    )
+    w = Window.partitionBy("content_key").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )

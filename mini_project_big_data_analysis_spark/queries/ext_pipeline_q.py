@@ -496,3 +496,49 @@ def ext_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", F.round(F.percent_rank().over(w), 6).alias("len_pct")
     )
+
+
+_PPS_RATE = 0.2  # expected sample fraction at w == w_max
+
+_PPS_ORACLE = f"""
+WITH wmax AS (
+    SELECT max(n_chars)::DOUBLE AS m FROM documents
+)
+SELECT doc_id, n_chars
+FROM documents CROSS JOIN wmax
+WHERE {_B.format(salt='pps-v1')} / 4294967296.0
+      < n_chars / m * {_PPS_RATE}
+"""
+
+
+@register("ext_sample_pps", _PPS_ORACLE)
+def ext_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sampling: each doc is kept with
+    probability ∝ its length (weight / w_max × base rate) decided by the
+    deterministic md5 hash — the weighted corpus draw used to bias
+    training mixes toward long/high-quality documents WITHOUT an RNG (same
+    stability contract as ext_split_hash: re-runs and re-partitions never
+    change the draw; only the salt does).
+
+    Scale shape: the weight normalizer is a 1-row max broadcast into a
+    row-local keep predicate — filter pipelines into the scan, no shuffle,
+    no per-row state. Inclusion probabilities are exact by construction
+    (hash/2³² is uniform), so downstream Horvitz-Thompson reweighting is
+    1/(w/w_max·rate) — noted for estimator use."""
+    docs = load(spark, sf_dir, "documents")
+    wmax = docs.agg(F.max("n_chars").cast("double").alias("m"))
+    hk = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("pps-v1"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(wmax))
+        .filter(
+            hk / F.lit(4294967296.0)
+            < F.col("n_chars") / F.col("m") * F.lit(_PPS_RATE)
+        )
+        .select("doc_id", "n_chars")
+    )

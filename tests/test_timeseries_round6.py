@@ -1022,3 +1022,44 @@ def test_percentile_bands_are_ordered(spark, sf_dir):
     for r in REGISTRY["ext_percentile_bands"].fn(spark, sf_dir).collect():
         assert r.p50 <= r.p90 <= r.p99
         assert r.n > 0
+
+
+BATCH20_IDS = ["ext_sample_pps", "ext_dedup_keep_best"]
+
+
+@pytest.mark.parametrize("qid", BATCH20_IDS)
+def test_batch20_ids_match_their_oracle(spark, sf_dir, duck, qid):
+    q = REGISTRY[qid]
+    ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
+    assert ok, f"{qid}: {msg}"
+
+
+def test_pps_longer_docs_sample_more(spark, sf_dir):
+    """PPS property: the sampled set's mean length must exceed the corpus
+    mean (long docs are overrepresented by construction), and the draw is
+    deterministic across invocations."""
+    import pyspark.sql.functions as FF
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_mean = docs.agg(FF.avg("n_chars")).collect()[0][0]
+    s1 = {r.doc_id for r in REGISTRY["ext_sample_pps"].fn(spark, sf_dir).collect()}
+    s2 = {r.doc_id for r in REGISTRY["ext_sample_pps"].fn(spark, sf_dir).collect()}
+    assert s1 == s2 and s1
+    sample_mean = (
+        docs.filter(FF.col("doc_id").isin(list(s1))).agg(FF.avg("n_chars")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
+
+
+def test_keep_best_prefers_longest_copy(spark, sf_dir):
+    """Among identical-content docs, the survivor must be the longest
+    (n_chars ties broken by lowest id), and exactly one per content key."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for d in docs:
+        groups[d.text].append((d.n_chars, d.doc_id))
+    want = {min(sorted(g, key=lambda t: (-t[0], t[1]))[:1])[1] for g in groups.values()}
+    got = {r.doc_id for r in REGISTRY["ext_dedup_keep_best"].fn(spark, sf_dir).collect()}
+    assert got == want
