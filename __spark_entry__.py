@@ -29,88 +29,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def coverage_rotation() -> list[str]:
-    """Driver correctness-coverage rotation for THIS round (round 6).
+    """Driver correctness-coverage rotation for THIS round (round 7).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
-    iteration order each round, so with 178 registered ids only a rotating
+    iteration order each round, so with 236 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly:
 
-    1. ids new this round (the §2.9g mining/interval/product-analytics
-       additions + the schema-evolution source, then the §2.9h
-       audit/connector/late-data additions), first;
-    2. ids whose last driver check FAILED (none — round 5 was 50/50 green);
-    3. then the STALEST previously-verified ids: 34 of the 49 ids last
-       driver-checked in round 3. The fifteen r3 ids held back to round 7
-       (the three streaming composites with batch/stream-parity pytest
-       pins, the three multimodal ids with byte-level pytest oracles,
-       `fn_regex_extract` covered by the scalar-function unit tests,
-       `join_bucketed` carrying its dedicated no-shuffle plan pytest, and
-       the seven dedup/similarity ids displaced for the §2.9h additions —
-       each pinned by its own unit test in test_dedup.py/test_similarity.py)
-       are the ones that lose the least from one extra round of window wait.
+    1. NEVER driver-checked ids first, per the pre-written round-7 plan in
+       COVERAGE_ROTATION.md: the 15 round-6 second-batch ids (added after
+       the round-6 window filled), ``stream_tumbling_agg`` (upgraded
+       rows-only → strong oracle mid-round-6), and 34 of the 52 round-6
+       third-batch ids (§2.9i). This includes the three ADVICE-r6-fixed ids
+       (``ext_span_dedup``, ``ext_gini_concentration``,
+       ``fn_mapinarrow_norms``) so the fixes earn driver rows immediately.
+    2. ids whose last driver check FAILED (none — round 6 was 50/50 green).
+    3. Stalest re-verification: none this round — the never-checked set
+       alone fills all 50 slots.
 
-    Ids displaced from the window this round (and the round each was last
-    driver-verified) are recorded in COVERAGE_ROTATION.md; all of them remain
-    covered every round by the local harness (scripts/check_queries.py) and
-    pytest.
+    The 18 never-checked overflow ids (batches 12–20 of §2.9i, each with
+    both an oracle-differential pytest AND a quantitative behavioral pin in
+    tests/test_timeseries_round6.py) queue FIRST for round 8, alongside the
+    15 round-3-displaced ids; see COVERAGE_ROTATION.md's round-8 plan.
     """
-    new_this_round = [
-        "ext_pmi_collocations",
-        "ext_heavy_hitters",
-        "ext_link_pagerank",
-        "join_interval_overlap",
-        "ext_retention_cohorts",
-        "ext_funnel_steps",
-        "ext_ab_zscore",
-        "src_schema_evolution",
-        "sql_recursive_cte",
-        "ext_domain_stats",
-        "ext_perplexity_buckets",
-        "ext_token_regex_count",
-        "ext_multimodal_phash_dedup",
-        "src_kafka_segment",
-        "src_jdbc_scan",
-        "stream_late_filter",
+    second_batch = [
+        "sql_pivot",
+        "sql_lateral_view",
+        "setop_intersect_all",
+        "ext_ngram_novelty",
+        "stream_foreachbatch_upsert",
+        "ext_dedup_containment",
+        "fn_variant_json",
+        "agg_listagg",
+        "src_xml_roundtrip",
+        "fn_udtf_sentences",
+        "ext_multimodal_framesample",
+        "ext_multimodal_resize",
+        "join_null_safe",
+        "agg_filter_clause",
+        "window_running_distinct",
     ]
-    stale_r3 = [
-        "agg_cube",
-        "agg_quartiles_exact",
-        "agg_rollup",
-        "agg_session_window",
-        "agg_sliding_window",
-        "ext_data_quality",
-        "ext_dataset_mix",
-        "ext_decontaminate",
-        "ext_dedup_fuzzy",
-        "ext_doc_len_histogram",
-        "ext_doc_winnow",
-        "ext_json_props",
-        "ext_lang_quality",
-        "ext_pii_scrub",
-        "ext_sample_stratified",
-        "ext_split_hash",
-        "ext_text_stats",
-        "ext_token_pack",
-        "ext_vocab_topk",
-        "ext_zorder_cluster",
-        "join_asof",
-        "join_range_band",
-        "join_salted_skew",
-        "setop_except",
-        "snk_upsert_write",
-        "sql_tpch_q1",
-        "sql_tpch_q3",
-        "sql_tpch_q5",
-        "sql_tpch_q6",
-        "src_csv_roundtrip",
-        "window_lag_delta",
-        "window_latest_per_key",
-        "window_ntile",
-        "window_rolling_avg",
+    upgraded = ["stream_tumbling_agg"]
+    third_batch = [
+        "ext_time_gapfill",
+        "ext_ewma_smooth",
+        "ext_anomaly_mad",
+        "ext_sequence_match",
+        "ext_compaction_bins",
+        "ext_dq_rules",
+        "join_skew_salt",
+        "ext_triangle_count",
+        "sql_groupby_all",
+        "stream_sliding_agg",
+        "stream_session_agg",
+        "ext_incremental_view",
+        "agg_bitmap_distinct",
+        "window_topk_per_group",
+        "agg_histogram_equiwidth",
+        "fn_array_hof",
+        "ext_ab_srm_check",
+        "ext_skyline_pareto",
+        "ext_markov_transitions",
+        "ext_burst_detect",
+        "ext_autocorr",
+        "agg_bool_aggregates",
+        "fn_collation_group",
+        "fn_mapinarrow_norms",
+        "ext_vector_quantize",
+        "ext_span_dedup",
+        "ext_token_drift",
+        "window_rolling_corr",
+        "ext_winsorize",
+        "ext_ks_test",
+        "ext_gini_concentration",
+        "agg_mode_deterministic",
+        "ext_sample_exact_k",
+        "src_footer_stats",
     ]
-    return new_this_round + stale_r3
+    return second_batch + upgraded + third_batch
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
