@@ -545,12 +545,19 @@ def ext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ran once per gram position, not once per row)
     toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
     t = F.col("t")
-    n_grams_per_doc = F.greatest(F.size(t) - (_SPAN_N - 1), F.lit(0))
+    n_grams_per_doc = F.size(t) - (_SPAN_N - 1)
+    # guard short docs: sequence(1, 0) is the DESCENDING [1, 0] in Spark,
+    # whose i=0 element makes slice() throw under ANSI — a <8-token doc
+    # must contribute an EMPTY gram list (matching the oracle's empty
+    # generate_series), same guard as functions/text_fns.py shingles
+    gram_idx = F.when(
+        F.size(t) >= _SPAN_N, F.sequence(F.lit(1), n_grams_per_doc)
+    ).otherwise(F.array().cast("array<int>"))
     grams = toks.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), n_grams_per_doc),
+                gram_idx,
                 lambda i: F.struct(
                     (i - 1).alias("pos"),
                     F.concat_ws(" ", F.slice(t, i, _SPAN_N)).alias("g"),

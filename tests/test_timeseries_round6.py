@@ -525,6 +525,27 @@ def test_span_cut_ranges_are_maximal_and_disjoint(spark, sf_dir):
             assert gram_counts[g] >= 2, f"doc {doc} span at {s} not repeated"
 
 
+def test_span_dedup_survives_short_documents(spark, tmp_path):
+    """ADVICE r6 regression: a document with fewer than 8 tokens used to
+    crash the whole job (sequence(1, 0) is DESCENDING in Spark, so the
+    transform lambda hit slice(t, 0, 8) → INVALID_PARAMETER_VALUE.START).
+    Short docs must contribute zero grams — same semantics as the oracle's
+    empty generate_series — while repeated 8-gram spans in long docs are
+    still found."""
+    long_txt = "a b c d e f g h tail" + " filler" * 4
+    spark.createDataFrame(
+        [
+            (1, "one two three", "en", 13),
+            (2, "", "en", 0),
+            (3, long_txt, "en", len(long_txt)),
+            (4, long_txt, "en", len(long_txt)),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = REGISTRY["ext_span_dedup"].fn(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in rows} == {3, 4}, rows
+
+
 def test_token_drift_matches_oracle(spark, sf_dir, duck):
     q = REGISTRY["ext_token_drift"]
     ok, msg = compare(q.fn(spark, sf_dir), duck, q.oracle)
