@@ -251,18 +251,23 @@ def fn_mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ]
                     )
                 )
+            # unrounded float64 out of the batch; rounding happens in the
+            # Spark plan below so BOTH engines apply the same half-away-
+            # from-zero rule (np.round is banker's half-to-even — ADVICE r6)
             yield pa.RecordBatch.from_arrays(
                 [
                     vec_id,
-                    pa.array(np.round(l2, 6), type=pa.float64()),
+                    pa.array(l2, type=pa.float64()),
                     pa.array(dims, type=pa.int32()),
                 ],
                 names=["vec_id", "l2_norm", "dim"],
             )
 
     emb = load(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", "embedding").mapInArrow(
-        norms, "vec_id BIGINT, l2_norm DOUBLE, dim INT"
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInArrow(norms, "vec_id BIGINT, l2_norm DOUBLE, dim INT")
+        .withColumn("l2_norm", F.round("l2_norm", 6))
     )
 
 

@@ -644,38 +644,52 @@ def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed by the sorted-rank identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n.
 
     Scale shape: orders collapse to customer grain by one hash-agg; the
-    global rank uses the DISTRIBUTED recipe — range-repartition on the
-    sort key, row_number within each range partition, plus per-partition
-    offsets (a bounded n_partitions-row collect broadcast back) — because
-    an unpartitioned row_number window drags every row to one task (the
-    skyline lesson). The moments are distributive sums. Exactness trick:
-    spend converts to integer CENTS before ranking and summation, so
-    Σ i·xᵢ and Σx are EXACT integer aggregates on both engines — no float
-    association noise reaches the final two divisions."""
+    global rank uses the DISTRIBUTED recipe — bucket on the sort key,
+    row_number within each bucket, plus per-bucket offsets — because an
+    unpartitioned row_number window drags every row to one task (the
+    skyline lesson). Bucket boundaries come from one bounded
+    approxQuantile collect and are applied as a DETERMINISTIC function of
+    the cents value itself (ADVICE r6: the earlier spark_partition_id
+    recipe tied correctness to RangePartitioner reproducing the same
+    sampled boundaries across two independently-seeded jobs; a value-
+    derived bucket id cannot misalign no matter how often the subtree is
+    recomputed). Offsets are computed IN-PLAN: per-bucket counts → a
+    running sum over the ≤16-row bucket table → broadcast join back, one
+    job end-to-end. Ties on cents share a bucket by construction, so the
+    o_custkey tie-break stays bucket-local. The moments are distributive
+    sums. Exactness trick: spend converts to integer CENTS before ranking
+    and summation, so Σ i·xᵢ and Σx are EXACT integer aggregates on both
+    engines — no float association noise reaches the final two
+    divisions."""
     orders = load(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("cents")
     )
-    # distributed global rank: repartitionByRange orders partitions by key
-    # range (pid ascending = key ascending), so global_i = local row_number
-    # + sum of earlier partitions' counts. The offset table is n_partitions
-    # rows — a bounded driver round-trip, broadcast back.
-    parts = cust.repartitionByRange(16, "cents", "o_custkey").withColumn(
-        "pid", F.spark_partition_id()
+    n_buckets = 16
+    bounds = sorted(
+        set(
+            cust.approxQuantile(
+                "cents", [i / n_buckets for i in range(1, n_buckets)], 0.001
+            )
+        )
     )
-    sizes = {r.pid: r.c for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()}
-    offsets = []
-    acc = 0
-    for pid in sorted(sizes):
-        offsets.append((pid, acc))
-        acc += sizes[pid]
-    off_df = F.broadcast(
-        parts.sparkSession.createDataFrame(offsets, "pid int, off long")
+    barr = F.array(*[F.lit(int(b)).cast("bigint") for b in bounds])
+    bucket = (
+        F.size(F.filter(barr, lambda b: b <= F.col("cents")))
+        if bounds
+        else F.lit(0)
+    )
+    parts = cust.withColumn("pid", bucket)
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = (
+        parts.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("pid", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"))
     )
     w_local = Window.partitionBy("pid").orderBy("cents", "o_custkey")
     ranked = (
         parts.withColumn("li", F.row_number().over(w_local))
-        .join(off_df, "pid")
+        .join(F.broadcast(off_df), "pid")
         .select("cents", (F.col("li") + F.col("off")).alias("i"))
     )
     n = F.count(F.lit(1))
