@@ -277,6 +277,124 @@ def derby_embedded_url(db_dir: str) -> str:
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
+class InMemoryDocumentCollection:
+    """pymongo-shaped collection surface (`insert_many` / `find` /
+    `delete_many` with ``{"$in": …}`` filters) backed by a driver-side list
+    of dicts — the sandbox stand-in for a MongoDB collection (no Mongo
+    server or driver exists in this container; a real deployment swaps this
+    object for ``MongoClient(...)[db][coll]`` unchanged, since
+    :class:`DocumentKeyedStore` calls only these three methods). Every
+    operation is appended to ``ops`` so tests can assert the store issued
+    bucket-PRUNED queries, not full-collection scans."""
+
+    def __init__(self) -> None:
+        self.docs: list[dict] = []
+        self.ops: list[tuple] = []
+
+    @staticmethod
+    def _matches(doc: dict, query: dict) -> bool:
+        for field, cond in query.items():
+            if isinstance(cond, dict) and "$in" in cond:
+                if doc.get(field) not in cond["$in"]:
+                    return False
+            elif doc.get(field) != cond:
+                return False
+        return True
+
+    def insert_many(self, docs: list[dict]) -> None:
+        self.ops.append(("insert_many", len(docs)))
+        self.docs.extend(dict(d) for d in docs)
+
+    def find(self, query: dict | None = None) -> list[dict]:
+        query = query or {}
+        self.ops.append(("find", query))
+        return [dict(d) for d in self.docs if self._matches(d, query)]
+
+    def delete_many(self, query: dict) -> int:
+        self.ops.append(("delete_many", query))
+        before = len(self.docs)
+        self.docs = [d for d in self.docs if not self._matches(d, query)]
+        return before - len(self.docs)
+
+    def estimated_document_count(self) -> int:
+        return len(self.docs)
+
+
+class DocumentKeyedStore(KeyedTableStore):
+    """Document-store (MongoDB-shaped) implementation of the connector
+    seam — the reference's ACTUAL sink (``MongoClient`` + per-record
+    ``insert_one``, consumer.py:12-13,78) re-expressed as the bulk,
+    bucket-pruned protocol ``upsert_into`` merges through:
+
+    - ``__bucket`` (hash of the merge keys) plays the shard key: reads are
+      ``find({"__bucket": {"$in": […]}})`` — an indexed shard-key query,
+      the document-store analogue of parquet partition pruning — and
+      replacement is ``delete_many`` + ``insert_many`` scoped to exactly
+      the touched buckets, so a MERGE never rewrites the collection.
+    - rows cross the boundary as plain field dicts (one document per row),
+      the same document shape consumer.py:78 inserts.
+
+    The client object is injected (pymongo's real collection or the
+    :class:`InMemoryDocumentCollection` stand-in — same three methods), so
+    the MERGE-side plumbing is identical either way. Writes stream through
+    ``toLocalIterator()`` partition-at-a-time; with a real networked store
+    the same per-partition ``insert_many`` body moves into
+    ``foreachPartition`` (executor-parallel, one client per partition) —
+    the stand-in must write driver-side because executor processes cannot
+    mutate driver-held Python lists."""
+
+    def __init__(self, spark: SparkSession, collection) -> None:
+        self.spark = spark
+        self.collection = collection
+        self._schema = None
+
+    def _insert_frame(self, df: DataFrame) -> None:
+        batch: list[dict] = []
+        for row in df.toLocalIterator():
+            batch.append(row.asDict())
+            if len(batch) >= 1000:
+                self.collection.insert_many(batch)
+                batch = []
+        if batch:
+            self.collection.insert_many(batch)
+
+    def exists(self) -> bool:
+        return self.collection.estimated_document_count() > 0
+
+    def initialize(self, bucketed: DataFrame) -> None:
+        self._schema = bucketed.schema
+        self._insert_frame(bucketed)
+
+    def _frame(self, docs: list[dict]) -> DataFrame:
+        cols = [f.name for f in self._schema.fields]
+        rows = [tuple(d.get(c) for c in cols) for d in docs]
+        return self.spark.createDataFrame(rows, self._schema)
+
+    def read_buckets(self, bucket_ids: list[int]) -> DataFrame:
+        # shard-key-pruned read: only the touched buckets' documents leave
+        # the store (an indexed $in query on a real deployment)
+        return self._frame(
+            self.collection.find({"__bucket": {"$in": sorted(bucket_ids)}})
+        )
+
+    def overwrite_buckets(self, merged: DataFrame) -> None:
+        # merged's lineage includes read_buckets of the very buckets being
+        # replaced; pin it before mutating (with the in-memory client the
+        # createDataFrame rows are already copies, but a lazy connector
+        # read would re-execute post-delete — same discipline as the
+        # parquet/JDBC stores)
+        merged = merged.localCheckpoint(eager=True)
+        touched = [
+            int(r[0]) for r in merged.select("__bucket").distinct().collect()
+        ]
+        if touched:  # bounded by n_buckets
+            self.collection.delete_many({"__bucket": {"$in": sorted(touched)}})
+        self._insert_frame(merged)
+
+    def read_all(self) -> DataFrame:
+        return self._frame(self.collection.find({})).drop("__bucket")
+
+
 def upsert_into(
     store: KeyedTableStore,
     updates: DataFrame,

@@ -30,6 +30,13 @@ def _make_store(kind, spark, tmp_path):
 
     if kind == "parquet":
         return ParquetBucketStore(spark, str(tmp_path / "upsert_pq"))
+    if kind == "document":
+        from mini_project_big_data_analysis_spark.sources.writers import (
+            DocumentKeyedStore,
+            InMemoryDocumentCollection,
+        )
+
+        return DocumentKeyedStore(spark, InMemoryDocumentCollection())
     return JdbcKeyedStore(
         spark,
         derby_embedded_url(str(tmp_path / "derbydb")),
@@ -38,12 +45,14 @@ def _make_store(kind, spark, tmp_path):
     )
 
 
-@pytest.mark.parametrize("kind", ["parquet", "jdbc"])
+@pytest.mark.parametrize("kind", ["parquet", "jdbc", "document"])
 def test_upsert_replaces_matched_appends_unmatched_idempotently(spark, tmp_path, kind):
     """The MERGE contract holds through BOTH concrete connector backends —
-    bucket-partitioned parquet and a real SQL engine over JDBC (embedded
-    Derby, whose driver ships inside Spark) — proving the KeyedTableStore
-    seam is an implementation boundary, not a parquet-shaped assumption."""
+    bucket-partitioned parquet, a real SQL engine over JDBC (embedded
+    Derby, whose driver ships inside Spark), and the document store (the
+    reference's MongoDB sink shape, consumer.py:78, on the in-memory
+    pymongo-surface stand-in) — proving the KeyedTableStore seam is an
+    implementation boundary, not a parquet-shaped assumption."""
     from mini_project_big_data_analysis_spark.sources.writers import upsert_into
 
     store = _make_store(kind, spark, tmp_path)
@@ -85,6 +94,58 @@ def test_jdbc_store_bucket_read_is_pushed_down(spark, tmp_path):
     assert "PushedFilters" in plan and "In(__bucket" in plan, plan
     got = {r["k"] for r in store.read_buckets([1, 2]).collect()}
     assert got == {i for i in range(16) if i % 4 in (1, 2)}
+
+
+def test_document_store_merge_is_shard_key_pruned(spark):
+    """Through the document backend, a MERGE must touch only the shard-key
+    buckets its update keys land in: every find the merge issues carries a
+    ``{"__bucket": {"$in": …}}`` predicate (never a full-collection scan),
+    and delete_many targets exactly the touched buckets — the Mongo
+    analogue of parquet partition pruning / the JDBC pushed IN-list."""
+    from mini_project_big_data_analysis_spark.sources.writers import (
+        DocumentKeyedStore,
+        InMemoryDocumentCollection,
+        upsert_into,
+    )
+
+    coll = InMemoryDocumentCollection()
+    store = DocumentKeyedStore(spark, coll)
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k long, v double"
+    )
+    upsert_into(store, base, keys=["k"], n_buckets=8)
+    all_buckets = {d["__bucket"] for d in coll.docs}
+    assert len(all_buckets) > 2  # the fixture really spans buckets
+
+    coll.ops.clear()
+    updates = spark.createDataFrame([(7, 700.0), (99, 99.0)], "k long, v double")
+    upsert_into(store, updates, keys=["k"], n_buckets=8)
+
+    first_write = next(
+        i for i, (op, _) in enumerate(coll.ops) if op in ("delete_many", "insert_many")
+    )
+    merge_reads = [q for op, q in coll.ops[:first_write] if op == "find"]
+    deletes = [q for op, q in coll.ops if op == "delete_many"]
+    assert merge_reads and deletes
+    touched = set()
+    for q in merge_reads:
+        assert "__bucket" in q and "$in" in q["__bucket"], q
+        touched.update(q["__bucket"]["$in"])
+    assert len(touched) <= 2  # two update keys → at most two buckets read
+    for q in deletes:
+        assert set(q["__bucket"]["$in"]) <= touched, q
+    # untouched buckets kept exactly their original documents, and the
+    # merge semantics landed: 7 replaced, 99 appended, everything else kept
+    bucket_of = {d["k"]: d["__bucket"] for d in coll.docs}
+    untouched_docs = {
+        (d["k"], d["v"]) for d in coll.docs if d["__bucket"] not in touched
+    }
+    assert untouched_docs == {
+        (i, float(i)) for i in range(40) if bucket_of[i] not in touched
+    }
+    final = {(d["k"], d["v"]) for d in coll.docs}
+    assert (7, 700.0) in final and (99, 99.0) in final and (7, 7.0) not in final
+    assert len(final) == 41
 
 
 def test_upsert_rewrites_only_affected_buckets(spark):
