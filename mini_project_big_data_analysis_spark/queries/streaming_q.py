@@ -365,7 +365,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, ts, value FROM events
         WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
     ), ordered AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
                CASE WHEN date_trunc('microseconds', ts)
                          - lag(date_trunc('microseconds', ts))
                            OVER (PARTITION BY user_id
@@ -376,7 +376,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), islands AS (
         SELECT user_id, ts, value,
                sum(brk) OVER (PARTITION BY user_id
-                              ORDER BY date_trunc('microseconds', ts)
+                              ORDER BY date_trunc('microseconds', ts), event_id
                               ROWS UNBOUNDED PRECEDING) AS sess
         FROM ordered
     )

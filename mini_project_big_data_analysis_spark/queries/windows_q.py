@@ -19,7 +19,7 @@ from .base import load, register
 
 _SESSION_ORACLE = """
 WITH ordered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          CASE WHEN date_trunc('microseconds', ts)
                    - lag(date_trunc('microseconds', ts))
                      OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)
@@ -30,7 +30,7 @@ WITH ordered AS (
 islands AS (
   SELECT user_id, ts, value,
          sum(brk) OVER (PARTITION BY user_id
-                        ORDER BY date_trunc('microseconds', ts)
+                        ORDER BY date_trunc('microseconds', ts), event_id
                         ROWS UNBOUNDED PRECEDING) AS sess
   FROM ordered
 )
