@@ -107,6 +107,32 @@ def test_connected_components_transitive(spark):
     }
 
 
+def test_connected_components_long_chain_converges_fast(spark):
+    """A 200-node path graph (diameter 199, min id at the far end) must
+    fully collapse WITHOUT hitting max_iterations — pure one-hop min-label
+    propagation would need 199 rounds and silently split the component at
+    the default cap of 50; the compressed multi-hop rounds must get there
+    within a small round budget (each round is a full label-table shuffle,
+    so round count is the 100 TB cost model)."""
+    import warnings
+
+    from mini_project_big_data_analysis_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # cap hit → failure
+        out = {
+            r.node: r.comp
+            for r in connected_components(edges, max_iterations=40).collect()
+        }
+    assert out == {i: 0 for i in range(n)}
+
+
 def test_tokenizers_agree_on_unicode_whitespace(spark):
     """The Python UDF tokenizer must match Java's ASCII \\s+ (word_shingles,
     oracles): NBSP is NOT a separator in either."""
