@@ -220,3 +220,47 @@ def test_snapshot_lifecycle_invariants_under_random_ops(spark, ops, tmp_path_fac
             raise AssertionError(f"orphan v{v} readable")
         except KeyError:
             pass
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The compressed multi-hop CC loop must agree with a reference
+    union-find on arbitrary random graphs (self-loops, parallel edges,
+    many components, cycles) — pinning that the path-compression shortcut
+    never crosses components or misses the per-component minimum."""
+    from mini_project_big_data_analysis_spark.operators.components import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    assert got == expected
