@@ -15,7 +15,9 @@ key-shifted copies of every sf0.1 table into ./testdata_sf1 (gitignored):
 - pyarrow read/concat/write preserves physical types exactly, including
   the INT64 TIMESTAMP(NANOS) `events.ts` the readers special-case.
 
-Deterministic (no RNG). Usage: python scripts/make_sf1.py [src_dir] [out_dir]
+Deterministic (no RNG). Usage:
+python scripts/make_sf1.py [src_dir] [out_dir] [copies]
+(copies defaults to 10; e.g. 30 from sf0.1 yields an sf3 for scaling curves)
 """
 
 from __future__ import annotations
@@ -70,7 +72,7 @@ def main() -> int:
     out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata_sf1"
     )
-    copies = 10
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(out, exist_ok=True)
 
     # one stride per key family, from the max over every column in it
