@@ -184,6 +184,29 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     spark = df.sparkSession
+    # Exact-duplicate collapse (the simhash group-join lesson, round 7):
+    # identical texts have identical signatures, band buckets, AND shingle
+    # sets, so the whole band-join + Jaccard-verify pipeline runs on ONE
+    # representative per distinct text — a D-fold duplicated corpus (any
+    # crawl before exact dedup; the sf1/sf3 stress fixtures) costs D not
+    # D² through the bucket join and, more importantly, through the
+    # shingle-array verify join. Intra-class pairs are emitted directly at
+    # Jaccard exactly 1.0 (identical sets) — except shingle-less docs
+    # (< k tokens), whose self-Jaccard is 0/0 = NULL and which the verify
+    # filter drops in the uncollapsed plan too. md5 keys the class (128
+    # bits; xxhash64 collisions would silently merge distinct texts).
+    groups = (
+        df.groupBy(F.md5(F.col(text_col)).alias("__ck"))
+        .agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"),
+            F.first(F.col(text_col)).alias(text_col),
+        )
+        .select(
+            F.element_at("__ids", 1).alias(id_col), text_col, "__ids"
+        )
+        .persist()
+    )
+    df = groups.select(id_col, text_col)
     # Hashing cost is ~num_hashes × shingles per doc, far above scan cost —
     # a single-file input would otherwise run it on one core. Repartition to
     # cluster parallelism BEFORE the projection, and persist the (tiny,
@@ -232,7 +255,50 @@ def minhash_lsh_pairs(
         df, candidates, id_col, text_col, shingle_k, jaccard_threshold
     )
     sigs.unpersist()
-    return verified
+
+    # Expand representative pairs back to document pairs.
+    from ..functions.text_fns import shingles_from_tokens, whitespace_tokens
+
+    idmap_a = groups.select(
+        F.col(id_col).alias("id_a"), F.col("__ids").alias("__ids_a")
+    )
+    idmap_b = groups.select(
+        F.col(id_col).alias("id_b"), F.col("__ids").alias("__ids_b")
+    )
+    cross = (
+        verified.join(idmap_a, "id_a")
+        .join(idmap_b, "id_b")
+        .select(F.explode("__ids_a").alias("x"), "__ids_b", "jaccard")
+        .select("x", F.explode("__ids_b").alias("y"), "jaccard")
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        groups.filter(F.size("__ids") >= 2)
+        # staged tokenization (lambda-capture rule): materialize the token
+        # array before the shingle transform references it
+        .select("__ids", whitespace_tokens(text_col).alias("__toks"))
+        .filter(
+            F.size(
+                F.array_distinct(shingles_from_tokens("__toks", shingle_k))
+            )
+            > 0
+        )
+        .select(F.posexplode("__ids").alias("i", "id_a"), "__ids")
+        .select("i", "id_a", F.posexplode("__ids").alias("j", "id_b"))
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            "id_a", "id_b", F.round(F.lit(1.0), 6).alias("jaccard")
+        )
+    )
+    if jaccard_threshold > 1.0:  # degenerate but keep the contract exact
+        intra = intra.filter(F.lit(False))
+    out = intra.unionByName(cross).localCheckpoint(eager=True)
+    groups.unpersist()
+    return out
 
 
 def _verify_jaccard(

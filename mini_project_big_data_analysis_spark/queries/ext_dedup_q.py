@@ -363,20 +363,51 @@ def ext_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select(
         "doc_id", "lang", "source", F.substring("text", 1, 12).alias("prefix")
     )
-    pairs = capped_self_join_pairs(
-        keyed, ["lang", "source"], "doc_id", ["prefix"], block_cap=4096
+    # Exact-duplicate collapse (the round-7 simhash/minhash lesson): docs
+    # identical on the comparison key (lang, source, prefix) are
+    # interchangeable, so the capped triangle join and the Levenshtein DP
+    # run once per DISTINCT class — a D-fold duplicated corpus costs D,
+    # not D², through the join. Intra-class pairs are distance 0 by
+    # definition; cross-class pairs inherit the class distance. The result
+    # set is unchanged (capped_self_join_pairs emits every pair either
+    # way; the cap only bounds per-task rows).
+    classes = keyed.groupBy("lang", "source", "prefix").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("__ids")
     )
-    return (
-        pairs.withColumn(
-            "edit_dist", F.levenshtein("a_prefix", "b_prefix", 6)
-        )
-        .filter(F.col("edit_dist") >= 0)
+    reps = classes.select(
+        F.element_at("__ids", 1).alias("doc_id"), "lang", "source", "prefix"
+    )
+    pairs = capped_self_join_pairs(
+        reps, ["lang", "source"], "doc_id", ["prefix"], block_cap=4096
+    )
+    rep_pairs = pairs.withColumn(
+        "edit_dist", F.levenshtein("a_prefix", "b_prefix", 6)
+    ).filter(F.col("edit_dist") >= 0)
+    ida = classes.select(
+        F.element_at("__ids", 1).alias("id_a"), F.col("__ids").alias("__ids_a")
+    )
+    idb = classes.select(
+        F.element_at("__ids", 1).alias("id_b"), F.col("__ids").alias("__ids_b")
+    )
+    cross = (
+        rep_pairs.join(ida, "id_a")
+        .join(idb, "id_b")
+        .select(F.explode("__ids_a").alias("x"), "__ids_b", "edit_dist")
+        .select("x", F.explode("__ids_b").alias("y"), "edit_dist")
         .select(
-            F.col("id_a"),
-            F.col("id_b"),
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
             "edit_dist",
         )
     )
+    intra = (
+        classes.filter(F.size("__ids") >= 2)
+        .select(F.posexplode("__ids").alias("i", "id_a"), "__ids")
+        .select("i", "id_a", F.posexplode("__ids").alias("j", "id_b"))
+        .filter(F.col("i") < F.col("j"))
+        .select("id_a", "id_b", F.lit(0).alias("edit_dist"))
+    )
+    return intra.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------
