@@ -466,12 +466,38 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: distinct-shingle agg (map-side partials), df filter, the
     index equi-join shuffled on the shingle, pair hash-agg, two size
-    lookups. Every join is equi; every fan-out is df-capped."""
+    lookups. Every join is equi; every fan-out is df-capped. Exact-dup
+    classes collapse before the index join (round-7 pattern): identical
+    texts share the gram set, so grams/sizes/pairs run once per DISTINCT
+    text — with the df cap kept DOC-level-exact by weighting each class's
+    gram by its member count (a gram in 30 identical copies still counts
+    df=30 and gets dropped, exactly like the uncollapsed plan and the
+    oracle). Intra-class pairs come from the a==b self row (their shared
+    rare-gram count is the class's rare-gram count, NOT ng — cross-class-
+    common grams can exceed the df cap), expanded id-pairwise."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    # class map shuffles only (md5, doc_id) — 40-byte rows, never the text;
+    # the representative rows are then re-selected FROM THE SCAN by a
+    # doc_id join (AQE broadcasts the id list at small scale), so the gram
+    # explode stays pipelined in the scan stage like the uncollapsed plan
+    classmap = (
+        docs.select(F.md5("text").alias("__ck"), "doc_id")
+        .groupBy("__ck")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("__ids"))
+        .select(
+            F.element_at("__ids", 1).alias("doc_id"),
+            F.size("__ids").alias("__csize"),
+            "__ids",
+        )
+    )
+    reps = docs.join(classmap.select("doc_id", "__csize"), "doc_id")
+    toks = reps.select(
+        "doc_id", "__csize", F.split(F.trim("text"), r"\s+").alias("t")
+    )
     grams = (
         toks.select(
             "doc_id",
+            "__csize",
             F.explode(
                 F.expr(
                     f"CASE WHEN size(t) >= {_CONT_SHINGLE} THEN "
@@ -486,15 +512,15 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ng"))
     rare = (
         grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum("__csize").alias("df"))  # df over DOCUMENTS, not classes
         .filter(F.col("df") <= _CONT_MAX_DF)
         .select("g")
     )
-    a = grams.join(rare, "g")
-    b = grams.withColumnRenamed("doc_id", "doc_id_b")
+    a = grams.select("doc_id", "g").join(rare, "g")
+    b = grams.select(F.col("doc_id").alias("doc_id_b"), "g")
     pairs = (
         a.join(b, "g")
-        .filter(F.col("doc_id") < F.col("doc_id_b"))
+        .filter(F.col("doc_id") <= F.col("doc_id_b"))  # == is the intra row
         .groupBy(F.col("doc_id").alias("id_a"), F.col("doc_id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -503,7 +529,7 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment = F.greatest(
         F.col("shared") / F.col("ng_a"), F.col("shared") / F.col("ng_b")
     )
-    return (
+    rep_pairs = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(containment >= _CONT_THRESHOLD)
@@ -511,6 +537,44 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", "shared", F.round(containment, 6).alias("containment")
         )
     )
+    ida = classmap.select(
+        F.col("doc_id").alias("id_a"), F.col("__ids").alias("__ids_a")
+    )
+    idb = classmap.select(
+        F.col("doc_id").alias("id_b"), F.col("__ids").alias("__ids_b")
+    )
+    cross = (
+        rep_pairs.filter(F.col("id_a") != F.col("id_b"))
+        .join(ida, "id_a")
+        .join(idb, "id_b")
+        .select(F.explode("__ids_a").alias("x"), "__ids_b", "shared", "containment")
+        .select("x", F.explode("__ids_b").alias("y"), "shared", "containment")
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "shared",
+            "containment",
+        )
+    )
+    intra = (
+        rep_pairs.filter(F.col("id_a") == F.col("id_b"))
+        .join(ida, "id_a")
+        .filter(F.size("__ids_a") >= 2)
+        .select(
+            F.posexplode("__ids_a").alias("i", "ia"), "__ids_a", "shared", "containment"
+        )
+        .select(
+            "i", "ia", F.posexplode("__ids_a").alias("j", "ib"), "shared", "containment"
+        )
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            "shared",
+            "containment",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 _SPAN_N = 8  # gram width, tokens
