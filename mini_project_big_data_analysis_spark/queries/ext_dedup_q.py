@@ -634,11 +634,35 @@ def ext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id) shuffle, running-max state. Output is cut ranges, never
     text."""
     docs = load(spark, sf_dir, "documents")
+    # Exact-dup class collapse (round-7 pattern): identical texts produce
+    # identical gram streams and therefore identical cut ranges, so the
+    # gram explode, hot-gram join, and gap-islands window run once per
+    # DISTINCT text. The corpus-wide occurrence count stays exact by
+    # weighting each representative's gram instances by class size (a gram
+    # appearing once in a 10-copy class still counts 10 toward the >=2 hot
+    # threshold — so a class of >=2 identical docs marks EVERY gram hot,
+    # exactly like the uncollapsed plan). Per-class cut ranges expand to
+    # every member id at the end. The class map shuffles (md5, doc_id)
+    # only; representatives rejoin the scan by doc_id so the gram explode
+    # stays pipelined in the scan stage.
+    classmap = (
+        docs.select(F.md5("text").alias("__ck"), "doc_id")
+        .groupBy("__ck")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("__ids"))
+        .select(
+            F.element_at("__ids", 1).alias("doc_id"),
+            F.size("__ids").alias("__csize"),
+            "__ids",
+        )
+    )
+    reps = docs.join(classmap.select("doc_id", "__csize"), "doc_id")
     # materialize the token array into a COLUMN before the lambda: an
     # inline `split` expression captured by a transform lambda re-evaluates
     # per generated element (measured 5× slower at sf0.1 — the regex split
     # ran once per gram position, not once per row)
-    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    toks = reps.select(
+        "doc_id", "__csize", F.split(F.trim("text"), r"\s+").alias("t")
+    )
     t = F.col("t")
     n_grams_per_doc = F.size(t) - (_SPAN_N - 1)
     # guard short docs: sequence(1, 0) is the DESCENDING [1, 0] in Spark,
@@ -650,6 +674,7 @@ def ext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<int>"))
     grams = toks.select(
         "doc_id",
+        "__csize",
         F.explode(
             F.transform(
                 gram_idx,
@@ -659,8 +684,8 @@ def ext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("pg"),
-    ).select("doc_id", "pg.pos", "pg.g")
-    hot = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(
+    ).select("doc_id", "__csize", "pg.pos", "pg.g")
+    hot = grams.groupBy("g").agg(F.sum("__csize").alias("c")).filter(
         F.col("c") >= 2
     )
     rep = grams.join(hot.select("g"), "g").select(
@@ -683,7 +708,7 @@ def ext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = merged.withColumn("island", F.sum("brk").over(w_run))
-    return (
+    rep_ranges = (
         islands.groupBy("doc_id", "island")
         .agg(
             F.min("pos").alias("cut_start"),
@@ -692,6 +717,17 @@ def ext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_grams"),
         )
         .drop("island")
+    )
+    return (
+        rep_ranges.join(classmap.select("doc_id", "__ids"), "doc_id")
+        .select(
+            F.explode("__ids").alias("member_id"),
+            "cut_start",
+            "cut_end",
+            "span_tokens",
+            "n_grams",
+        )
+        .withColumnRenamed("member_id", "doc_id")
     )
 
 
