@@ -149,3 +149,36 @@ def test_tokenizers_agree_on_unicode_whitespace(spark):
         .toks
     )
     assert ascii_tokens(s) == jvm_toks == ["a\u00a0b", "c", "d"]
+
+
+def test_dup_class_expansion_is_member_uniform(spark):
+    """Round-7 collapse regression pin: with a tripled exact-dup class, the
+    expanded output must contain every intra-class pair at Jaccard exactly
+    1.0 and give every member the SAME score against an outside near-dup
+    (members are interchangeable — a collapse bug would score or drop some
+    member differently). Short/empty dup classes must contribute nothing
+    (their shingle sets are empty, matching the uncollapsed NULL-Jaccard
+    behavior)."""
+    rows = [
+        (1, BASE), (2, BASE), (3, BASE),   # 3-member exact-dup class
+        (4, NEAR),                          # near dup of the class
+        (5, OTHER),
+        (6, "short"), (7, "short"),         # dup class below shingle_k
+        (8, ""), (9, ""),                   # empty dup class
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.5
+    ).collect()
+    by_pair = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    # every intra-class pair present, exactly 1.0
+    for p in [(1, 2), (1, 3), (2, 3)]:
+        assert by_pair.get(p) == 1.0, by_pair
+    # the near dup scores identically against every class member
+    near_scores = {j for (a, b), j in by_pair.items() if b == 4 or a == 4}
+    assert len(near_scores) == 1 and near_scores.pop() >= 0.5
+    assert {(a, b) for (a, b) in by_pair if a == 4 or b == 4} == {
+        (1, 4), (2, 4), (3, 4)
+    }
+    # shingle-less dup classes contribute no pairs at all
+    assert all(a not in (6, 7, 8, 9) and b not in (6, 7, 8, 9) for a, b in by_pair)
