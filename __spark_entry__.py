@@ -29,85 +29,87 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def coverage_rotation() -> list[str]:
-    """Driver correctness-coverage rotation for THIS round (round 7).
+    """Driver correctness-coverage rotation for THIS round (round 8).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
     iteration order each round, so with 236 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
-    affect — declares the round's window explicitly:
+    affect — declares the round's window explicitly, executing the plan
+    pre-written in COVERAGE_ROTATION.md at the end of round 7:
 
-    1. NEVER driver-checked ids first, per the pre-written round-7 plan in
-       COVERAGE_ROTATION.md: the 15 round-6 second-batch ids (added after
-       the round-6 window filled), ``stream_tumbling_agg`` (upgraded
-       rows-only → strong oracle mid-round-6), and 34 of the 52 round-6
-       third-batch ids (§2.9i). This includes the three ADVICE-r6-fixed ids
-       (``ext_span_dedup``, ``ext_gini_concentration``,
-       ``fn_mapinarrow_norms``) so the fixes earn driver rows immediately.
-    2. ids whose last driver check FAILED (none — round 6 was 50/50 green).
-    3. Stalest re-verification: none this round — the never-checked set
-       alone fills all 50 slots.
+    1. NEVER driver-checked ids first: the 18 §2.9i overflow ids displaced
+       from the round-7 window (each judge-verified green twice, r6 and r7).
+       ``ext_user_rfm`` and ``ext_vocab_growth`` are in this set AND receive
+       their single-partition-window fixes this round, so the fixes earn
+       driver rows immediately.
+    2. ids whose last driver check FAILED (none — round 7 was 50/50 green).
+    3. Stalest re-verification: the 15 round-3-displaced ids (last driver
+       row round 3 — the oldest stale set), then the alphabetically-first
+       17 round-4 ids.
 
-    The 18 never-checked overflow ids (batches 12–20 of §2.9i, each with
-    both an oracle-differential pytest AND a quantitative behavioral pin in
-    tests/test_timeseries_round6.py) queue FIRST for round 8, alongside the
-    15 round-3-displaced ids; see COVERAGE_ROTATION.md's round-8 plan.
+    After this window executes, EVERY oracle-bearing id in the registry has
+    at least one driver-recorded hash row, and the steady-state stalest-
+    first cycle (~4.7 rounds at 236 ids / 50 slots) begins; see
+    COVERAGE_ROTATION.md's round-9 plan.
     """
-    second_batch = [
-        "sql_pivot",
-        "sql_lateral_view",
-        "setop_intersect_all",
-        "ext_ngram_novelty",
-        "stream_foreachbatch_upsert",
-        "ext_dedup_containment",
-        "fn_variant_json",
-        "agg_listagg",
-        "src_xml_roundtrip",
-        "fn_udtf_sentences",
-        "ext_multimodal_framesample",
-        "ext_multimodal_resize",
-        "join_null_safe",
-        "agg_filter_clause",
-        "window_running_distinct",
+    overflow_never_checked = [
+        "ext_pipeline_e2e",
+        "ext_rank_normalize",
+        "window_nth_value",
+        "ext_user_rfm",
+        "ext_graph_degree_dist",
+        "ext_lang_confusion",
+        "ext_smoothed_rates",
+        "ext_ab_power",
+        "ext_changepoint_meanshift",
+        "ext_psi_stability",
+        "ext_basket_lift",
+        "ext_benford_audit",
+        "ext_seasonality_index",
+        "ext_vocab_growth",
+        "ext_cohort_ltv",
+        "ext_percentile_bands",
+        "ext_sample_pps",
+        "ext_dedup_keep_best",
     ]
-    upgraded = ["stream_tumbling_agg"]
-    third_batch = [
-        "ext_time_gapfill",
-        "ext_ewma_smooth",
-        "ext_anomaly_mad",
-        "ext_sequence_match",
-        "ext_compaction_bins",
-        "ext_dq_rules",
-        "join_skew_salt",
-        "ext_triangle_count",
-        "sql_groupby_all",
-        "stream_sliding_agg",
-        "stream_session_agg",
-        "ext_incremental_view",
-        "agg_bitmap_distinct",
-        "window_topk_per_group",
-        "agg_histogram_equiwidth",
-        "fn_array_hof",
-        "ext_ab_srm_check",
-        "ext_skyline_pareto",
-        "ext_markov_transitions",
-        "ext_burst_detect",
-        "ext_autocorr",
-        "agg_bool_aggregates",
-        "fn_collation_group",
-        "fn_mapinarrow_norms",
-        "ext_vector_quantize",
-        "ext_span_dedup",
-        "ext_token_drift",
-        "window_rolling_corr",
-        "ext_winsorize",
-        "ext_ks_test",
-        "ext_gini_concentration",
-        "agg_mode_deterministic",
-        "ext_sample_exact_k",
-        "src_footer_stats",
+    round3_displaced = [
+        "stream_clean_sink",
+        "stream_stateful_stats",
+        "stream_weather_pipeline",
+        "ext_multimodal_chunks",
+        "ext_multimodal_features",
+        "ext_multimodal_meta",
+        "fn_regex_extract",
+        "join_bucketed",
+        "ext_dedup_exact",
+        "ext_dedup_fingerprint",
+        "ext_dedup_ngram",
+        "ext_dedup_simhash",
+        "ext_dedup_components",
+        "ext_sim_topk",
+        "ext_emb_neardup",
     ]
-    return second_batch + upgraded + third_batch
+    round4_stalest = [
+        "agg_corr_stats",
+        "agg_count",
+        "agg_describe",
+        "agg_distinct_sorted",
+        "agg_global_stats",
+        "agg_group_avg",
+        "agg_grouping_sets",
+        "agg_hll_distinct",
+        "agg_min_max",
+        "agg_mode",
+        "agg_pivot",
+        "agg_time_window",
+        "agg_value_counts",
+        "ext_dedup_editdist",
+        "ext_dedup_incremental",
+        "ext_embed_centroids",
+        "ext_quality_gate",
+    ]
+    return overflow_never_checked + round3_displaced + round4_stalest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
