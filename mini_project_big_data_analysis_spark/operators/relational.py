@@ -202,6 +202,103 @@ def global_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.agg(*aggs)
 
 
+def distributed_global_rank(
+    df: DataFrame,
+    key: str,
+    tie_cols: list[str],
+    *,
+    n_buckets: int = 32,
+    bounds: list[float] | None = None,
+    rank_col: str = "gr_i",
+    total_col: str = "gr_n",
+) -> DataFrame:
+    """Exact global 1-based row_number over (key ASC, *tie_cols ASC) without
+    dragging the table through one task — the library form of the
+    ext_gini_concentration recipe (ext_timeseries_q.py).
+
+    An unpartitioned ``row_number().over(Window.orderBy(...))`` plans as
+    Exchange SinglePartition + one WindowExec task; at corpus/user grain
+    that is the classic 100 TB scale-killer. Instead: bucket each row by a
+    DETERMINISTIC function of the key value itself (boundary literals from
+    one bounded approxQuantile collect — never ``spark_partition_id``,
+    whose RangePartitioner sampling is not reproducible across jobs),
+    row_number within each bucket, then add per-bucket offsets computed
+    in-plan (a broadcast self-cross of the ≤ n_buckets+1-row bucket-count
+    table — not a running-sum window, so the plan contains NO
+    unpartitioned WindowExec at all, bounded or otherwise — broadcast
+    back). Ties on ``key`` share a bucket by construction, so tie-breaks
+    stay bucket-local and the rank equals the single-window spelling
+    exactly.
+
+    ``key`` must be non-null and numeric, sorted ASCENDING — callers
+    wanting DESC negate the column first. ``bounds`` lets callers reuse
+    one multi-column ``approxQuantile`` action across several ranks (the
+    RFM pattern); when None, one approxQuantile job runs here. Pick
+    ``n_buckets`` ≈ target parallelism; each bucket is one window task.
+
+    Returns ``df`` plus ``rank_col`` (BIGINT, 1-based) and ``total_col``
+    (BIGINT, the global row count — free from the bucket table, so ntile
+    arithmetic needs no second action).
+    """
+    from pyspark.sql import Window
+
+    if bounds is None:
+        bounds = df.approxQuantile(
+            key, [i / n_buckets for i in range(1, n_buckets)], 0.001
+        )
+    uniq = sorted(set(bounds))
+    if uniq:
+        barr = F.array(*[F.lit(b) for b in uniq])
+        pid = F.size(F.filter(barr, lambda b: b <= F.col(key)))
+    else:
+        pid = F.lit(0)
+    parts = df.withColumn("__gr_pid", pid)
+    cnt = parts.groupBy("__gr_pid").agg(F.count(F.lit(1)).alias("__gr_c"))
+    cnt_b = cnt.select(
+        F.col("__gr_pid").alias("__gr_pid_b"), F.col("__gr_c").alias("__gr_c_b")
+    )
+    off_df = (
+        cnt.crossJoin(F.broadcast(cnt_b))
+        .groupBy("__gr_pid")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__gr_pid_b") < F.col("__gr_pid"), F.col("__gr_c_b")
+                ).otherwise(F.lit(0))
+            ).alias("__gr_off"),
+            F.sum("__gr_c_b").alias(total_col),
+        )
+    )
+    w_local = Window.partitionBy("__gr_pid").orderBy(key, *tie_cols)
+    return (
+        parts.withColumn("__gr_li", F.row_number().over(w_local))
+        .join(F.broadcast(off_df), "__gr_pid")
+        .withColumn(rank_col, (F.col("__gr_li") + F.col("__gr_off")).cast("bigint"))
+        .drop("__gr_pid", "__gr_li", "__gr_off")
+    )
+
+
+def exact_ntile(rank_col: str, total_col: str, k: int) -> Column:
+    """ntile(k) as row-local integer arithmetic on a precomputed global
+    rank — the companion to ``distributed_global_rank``.
+
+    SQL ntile semantics: with n rows, q = n div k and r = n mod k, buckets
+    1..r hold q+1 rows and buckets r+1..k hold q rows. Given the 1-based
+    rank i that is a closed form; spelled with integer ``div`` so no float
+    division can mis-round at any scale. The q = 0 (n < k) edge resolves
+    entirely in the WHEN branch (bucket = i), so the ELSE's ``div q``
+    never sees zero — CASE short-circuits per row. Cast to INT to match
+    Spark's native ntile output type (oracle-schema stable)."""
+    q = f"({total_col} div {k})"
+    r = f"({total_col} % {k})"
+    h = f"({q} + 1)"
+    i = rank_col
+    return F.expr(
+        f"CASE WHEN {i} <= {r} * {h} THEN ({i} + {h} - 1) div {h} "
+        f"ELSE {r} + (({i} - {r} * {h} + {q} - 1) div {q}) END"
+    ).cast("int")
+
+
 def triangle_tasks(sized: DataFrame, id_col: str, block_cap: int) -> DataFrame:
     """Decompose each block into bounded chunk-pair tasks (triangle join).
 

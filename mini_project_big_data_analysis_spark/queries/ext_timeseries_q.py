@@ -644,54 +644,28 @@ def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed by the sorted-rank identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n.
 
     Scale shape: orders collapse to customer grain by one hash-agg; the
-    global rank uses the DISTRIBUTED recipe — bucket on the sort key,
-    row_number within each bucket, plus per-bucket offsets — because an
-    unpartitioned row_number window drags every row to one task (the
-    skyline lesson). Bucket boundaries come from one bounded
-    approxQuantile collect and are applied as a DETERMINISTIC function of
-    the cents value itself (ADVICE r6: the earlier spark_partition_id
-    recipe tied correctness to RangePartitioner reproducing the same
-    sampled boundaries across two independently-seeded jobs; a value-
-    derived bucket id cannot misalign no matter how often the subtree is
-    recomputed). Offsets are computed IN-PLAN: per-bucket counts → a
-    running sum over the ≤16-row bucket table → broadcast join back, one
-    job end-to-end. Ties on cents share a bucket by construction, so the
-    o_custkey tie-break stays bucket-local. The moments are distributive
-    sums. Exactness trick: spend converts to integer CENTS before ranking
-    and summation, so Σ i·xᵢ and Σx are EXACT integer aggregates on both
-    engines — no float association noise reaches the final two
-    divisions."""
+    global rank is ``operators.relational.distributed_global_rank`` (this
+    query's inline spelling was the recipe's origin; round 8 moved it to
+    the shared library) — bucket on VALUE-derived approxQuantile
+    boundaries (ADVICE r6: never ``spark_partition_id`` across jobs; a
+    value-derived bucket id cannot misalign no matter how often the
+    subtree is recomputed), row_number within each bucket, per-bucket
+    offsets from a broadcast self-cross of the ≤17-row bucket-count table
+    — no unpartitioned WindowExec anywhere, one job end-to-end. Ties on
+    cents share a bucket by construction, so the o_custkey tie-break
+    stays bucket-local. The moments are distributive sums. Exactness
+    trick: spend converts to integer CENTS before ranking and summation,
+    so Σ i·xᵢ and Σx are EXACT integer aggregates on both engines — no
+    float association noise reaches the final two divisions."""
+    from ..operators.relational import distributed_global_rank
+
     orders = load(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("cents")
     )
-    n_buckets = 16
-    bounds = sorted(
-        set(
-            cust.approxQuantile(
-                "cents", [i / n_buckets for i in range(1, n_buckets)], 0.001
-            )
-        )
-    )
-    barr = F.array(*[F.lit(int(b)).cast("bigint") for b in bounds])
-    bucket = (
-        F.size(F.filter(barr, lambda b: b <= F.col("cents")))
-        if bounds
-        else F.lit(0)
-    )
-    parts = cust.withColumn("pid", bucket)
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    off_df = (
-        parts.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select("pid", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"))
-    )
-    w_local = Window.partitionBy("pid").orderBy("cents", "o_custkey")
-    ranked = (
-        parts.withColumn("li", F.row_number().over(w_local))
-        .join(F.broadcast(off_df), "pid")
-        .select("cents", (F.col("li") + F.col("off")).alias("i"))
-    )
+    ranked = distributed_global_rank(
+        cust, "cents", ["o_custkey"], n_buckets=16
+    ).select("cents", F.col("gr_i").alias("i"))
     n = F.count(F.lit(1))
     return ranked.agg(
         n.alias("n_customers"),
@@ -989,9 +963,15 @@ def ext_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: first-seen = one min-aggregate over the exploded tokens
     (map-side combine collapses the Zipf head); the curve is a bucket-grain
-    re-agg (corpus_size/50 rows) and the running total is a window over
-    those few rows. No sort of the token stream, no per-doc set
-    intersection — novelty falls out of min(doc_id)."""
+    re-agg (corpus_size/50 rows). That grain is still data-proportional,
+    so the running total is TWO-PHASE rather than one unpartitioned window
+    (the round-7 verdict's watch item): buckets roll into 1024-bucket
+    superbucket partial sums, the cumulative offsets run over the
+    superbucket table (corpus/51,200 grain — one task, but survivable past
+    10¹² docs; the honest bound), and the final vocab_size is the
+    broadcast offset plus a superbucket-LOCAL running window. No sort of
+    the token stream, no per-doc set intersection — novelty falls out of
+    min(doc_id)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
@@ -1002,13 +982,30 @@ def ext_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bucket")
     ).agg(F.count(F.lit(1)).alias("new_tokens"))
-    w = Window.orderBy("bucket").rowsBetween(
+    grain = 1024  # buckets per superbucket (offset-table shrink factor)
+    sb = per_bucket.withColumn(
+        "sb", F.floor(F.col("bucket") / grain).cast("bigint")
+    )
+    w_off = Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = (
+        sb.groupBy("sb")
+        .agg(F.sum("new_tokens").alias("sb_sum"))
+        .select(
+            "sb", F.coalesce(F.sum("sb_sum").over(w_off), F.lit(0)).alias("off")
+        )
+    )
+    w_local = Window.partitionBy("sb").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return per_bucket.select(
-        "bucket",
-        "new_tokens",
-        F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
+    return (
+        sb.join(F.broadcast(off_df), "sb")
+        .select(
+            "bucket",
+            "new_tokens",
+            (F.col("off") + F.sum("new_tokens").over(w_local))
+            .cast("bigint")
+            .alias("vocab_size"),
+        )
     )
 
 

@@ -132,3 +132,69 @@ def test_hll_sketch_union_accuracy(spark):
     small = spark.range(500).select((F.col("id") % 5).alias("g"), F.col("id").alias("k"))
     s = small.groupBy("g").agg(F.expr("hll_sketch_estimate(hll_sketch_agg(k, 14))").alias("est")).collect()
     assert all(row.est == 100 for row in s)
+
+
+def test_distributed_global_rank_matches_single_window(spark):
+    """distributed_global_rank + exact_ntile must be BIT-IDENTICAL to the
+    single-window row_number/ntile spelling — that equivalence is what lets
+    ext_perplexity_buckets / ext_user_rfm / ext_gini_concentration keep
+    their ntile-based DuckDB oracles after the round-8 single-partition-
+    window fixes. Tie-heavy key (17 distinct values over 1000 rows) so
+    bucket-local tie-breaks are actually exercised; k sweep includes k > n
+    remainders and the n < k edge (q = 0 — the ELSE's `div q` must never
+    evaluate)."""
+    from pyspark.sql import Window
+
+    df = spark.range(1000).select(
+        F.col("id").alias("rid"), (F.pmod(F.col("id") * 37, F.lit(17))).alias("key")
+    )
+    ranked = relational.distributed_global_rank(df, "key", ["rid"], n_buckets=8)
+    w = Window.orderBy("key", "rid")
+    expected = df.withColumn("i", F.row_number().over(w))
+    got = {r.rid: (r.gr_i, r.gr_n) for r in ranked.collect()}
+    for r in expected.collect():
+        assert got[r.rid] == (r.i, 1000), (r.rid, got[r.rid], r.i)
+    for k in (3, 5, 7, 64):
+        nt = {
+            r.rid: r.b
+            for r in ranked.withColumn(
+                "b", relational.exact_ntile("gr_i", "gr_n", k)
+            ).collect()
+        }
+        ref = {
+            r.rid: r.b
+            for r in expected.withColumn("b", F.ntile(k).over(w)).collect()
+        }
+        assert nt == ref, f"k={k}"
+    # n < k edge: every row its own bucket, no div-by-zero under ANSI
+    tiny = spark.range(4).select(F.col("id").alias("rid"), F.col("id").alias("key"))
+    tr = relational.distributed_global_rank(tiny, "key", ["rid"], n_buckets=4)
+    vals = sorted(
+        r.b for r in tr.withColumn("b", relational.exact_ntile("gr_i", "gr_n", 9)).collect()
+    )
+    assert vals == [1, 2, 3, 4]
+
+
+def test_distributed_rank_consumers_have_no_single_partition_window(spark):
+    """The round-7 verdict's two weak items: ext_perplexity_buckets and
+    ext_user_rfm planned Exchange SinglePartition + Sort + WindowExec over
+    data-proportional rows. Pin that no Window/Sort in their plans (or
+    gini's, the recipe origin) is fed by a single-partition exchange.
+    Global scalar aggregates legitimately finish with Exchange
+    SinglePartition (one partial row per partition crosses) — those are
+    allowed; a Sort or Window directly above one is not."""
+    from mini_project_big_data_analysis_spark.plans.checks import explain_str
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    reg = all_queries()
+    for qid in ("ext_perplexity_buckets", "ext_user_rfm", "ext_gini_concentration"):
+        tree = explain_str(
+            reg[qid].fn(spark, "/root/testdata/sf0.001"), "simple"
+        ).splitlines()
+        for i, line in enumerate(tree):
+            if "Exchange SinglePartition" in line:
+                parents = " ".join(tree[max(0, i - 2) : i])
+                assert "Sort" not in parents and "Window" not in parents, (
+                    qid,
+                    tree[max(0, i - 2) : i + 1],
+                )

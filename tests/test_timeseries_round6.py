@@ -1014,6 +1014,45 @@ def test_vocab_growth_is_monotone_and_totals_vocab(spark, sf_dir):
     assert rows[-1].vocab_size == len(vocab)
 
 
+def test_vocab_growth_two_phase_offsets_cross_superbuckets(spark, tmp_path):
+    """The fixture corpus puts every first-seen token in bucket 0, so the
+    round-8 two-phase running sum (1024-bucket superbucket partials +
+    broadcast offsets + superbucket-local windows) is invisible to the
+    oracle gate. Synthetic corpus with doc_ids sparse across THREE
+    superbuckets (0, 60k, 120k — superbuckets are 51,200 docs wide) pins
+    that the stitched cumulative equals the plain running sum."""
+    rows = []
+    tok = 0
+    for base in (0, 60_000, 120_000):
+        for j in range(4):
+            words = " ".join(f"w{tok + i}" for i in range(3))  # 3 new tokens
+            tok += 3
+            rows.append((base + j * 50, f"{words} w0", "en", "syn", 10))
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "documents.parquet")
+    sdf.coalesce(1).write.parquet(path)
+    import shutil
+
+    # read_table expects {sf_dir}/documents.parquet
+    out = sorted(
+        REGISTRY["ext_vocab_growth"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.bucket,
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    assert len(out) == 12
+    expected_cum = 0
+    for r in out:
+        assert r.new_tokens == 3
+        expected_cum += 3
+        assert r.vocab_size == expected_cum, (r.bucket, r.vocab_size, expected_cum)
+    # 4 buckets per superbucket, 3 superbuckets: offsets crossed twice
+    assert {r.bucket for r in out} == (
+        {0, 1, 2, 3} | {1200 + i for i in range(4)} | {2400 + i for i in range(4)}
+    )
+
+
 BATCH19_IDS = ["ext_cohort_ltv", "ext_percentile_bands"]
 
 
