@@ -195,8 +195,11 @@ def minhash_lsh_pairs(
     # (< k tokens), whose self-Jaccard is 0/0 = NULL and which the verify
     # filter drops in the uncollapsed plan too. md5 keys the class (128
     # bits; xxhash64 collisions would silently merge distinct texts).
+    # NULL texts md5 to a NULL class key; uncollapsed, NULL join keys never
+    # matched, so the all-NULL class must not expand into pairs (ADVICE r7).
     groups = (
-        df.groupBy(F.md5(F.col(text_col)).alias("__ck"))
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("__ck"))
         .agg(
             F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"),
             F.first(F.col(text_col)).alias(text_col),
@@ -435,7 +438,12 @@ def simhash64(texts):  # type: ignore[no-untyped-def]
             bit_cache[tok] = bits
         return bits
 
-    def one(text: str) -> int:
+    def one(text):  # type: ignore[no-untyped-def]
+        if text is None:
+            # NULL text → NULL hash (no pairs downstream, ADVICE r7);
+            # EMPTY text keeps hash 0 — known content, pairs with other
+            # empties exactly as the pre-collapse plan did.
+            return None
         if not text:
             return 0
         acc = np.zeros(64, dtype=np.int64)
@@ -448,7 +456,7 @@ def simhash64(texts):  # type: ignore[no-untyped-def]
         # map to signed int64
         return out - (1 << 64) if out >= (1 << 63) else out
 
-    return pd.Series([one(t) for t in texts])
+    return pd.Series([one(t) for t in texts], dtype="Int64")
 
 
 def simhash_pairs(
@@ -474,7 +482,13 @@ def simhash_pairs(
     of members should run exact dedup first (the output would be that many
     squared pairs regardless of plan shape).
     """
-    hashed = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    # NULL texts hash to a NULL simhash; in the uncollapsed plan NULL join
+    # keys never matched, so they produced no pairs — the collapse must not
+    # turn the all-NULL class into hamming-0 pairs (ADVICE r7). Drop them
+    # before grouping.
+    hashed = df.select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
     groups = hashed.groupBy("simhash").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     )

@@ -245,12 +245,14 @@ packed AS (
   FROM bits GROUP BY doc_id
 ),
 fp AS (
-  -- LEFT JOIN keeps token-less docs at simhash 0, like the UDF
+  -- LEFT JOIN keeps token-less docs at simhash 0, like the UDF;
+  -- NULL-text docs hash to NULL and emit no pairs (ADVICE r7)
   SELECT d.doc_id,
          (CASE WHEN coalesce(p.u, 0) >= 9223372036854775808::HUGEINT
                THEN coalesce(p.u, 0) - 18446744073709551616::HUGEINT
                ELSE coalesce(p.u, 0) END)::BIGINT AS simhash
   FROM documents d LEFT JOIN packed p USING (doc_id)
+  WHERE d.text IS NOT NULL
 ),
 uns AS (
   SELECT doc_id, simhash,
@@ -360,8 +362,16 @@ def ext_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import capped_self_join_pairs
 
     docs = load(spark, sf_dir, "documents")
+    # NULLs in any comparison-key column produced no pairs uncollapsed
+    # (equi-join keys never match on NULL; levenshtein(NULL,·) is NULL and
+    # the ≥0 filter dropped it) — the class collapse must not turn an
+    # all-NULL class into distance-0 pairs (ADVICE r7).
     keyed = docs.select(
         "doc_id", "lang", "source", F.substring("text", 1, 12).alias("prefix")
+    ).filter(
+        F.col("prefix").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
     )
     # Exact-duplicate collapse (the round-7 simhash/minhash lesson): docs
     # identical on the comparison key (lang, source, prefix) are

@@ -343,10 +343,31 @@ class DocumentKeyedStore(KeyedTableStore):
     the stand-in must write driver-side because executor processes cannot
     mutate driver-held Python lists."""
 
-    def __init__(self, spark: SparkSession, collection) -> None:
+    def __init__(self, spark: SparkSession, collection, schema=None) -> None:
         self.spark = spark
         self.collection = collection
-        self._schema = None
+        self._schema = schema
+
+    def _ensure_schema(self) -> None:
+        # Constructed over an already-populated collection (the live-Mongo
+        # path — ``MongoClient(...)[db][coll]`` handed in, ``exists()``
+        # True, ``initialize`` never runs): recover the schema from storage
+        # the way the parquet/JDBC backends do, by inferring over a bounded
+        # sample of documents (ADVICE r7). Callers with a known contract
+        # pass ``schema`` to the constructor instead.
+        if self._schema is not None:
+            return
+        from itertools import islice
+
+        from pyspark.sql import Row
+
+        sample = [Row(**d) for d in islice(iter(self.collection.find({})), 100)]
+        if not sample:
+            raise ValueError(
+                "DocumentKeyedStore has no schema: collection is empty and "
+                "no schema was passed to the constructor"
+            )
+        self._schema = self.spark.createDataFrame(sample).schema
 
     def _insert_frame(self, df: DataFrame) -> None:
         batch: list[dict] = []
@@ -366,6 +387,7 @@ class DocumentKeyedStore(KeyedTableStore):
         self._insert_frame(bucketed)
 
     def _frame(self, docs: list[dict]) -> DataFrame:
+        self._ensure_schema()
         cols = [f.name for f in self._schema.fields]
         rows = [tuple(d.get(c) for c in cols) for d in docs]
         return self.spark.createDataFrame(rows, self._schema)

@@ -182,3 +182,46 @@ def test_dup_class_expansion_is_member_uniform(spark):
     }
     # shingle-less dup classes contribute no pairs at all
     assert all(a not in (6, 7, 8, 9) and b not in (6, 7, 8, 9) for a, b in by_pair)
+
+
+def test_null_text_classes_produce_no_pairs(spark):
+    """ADVICE r7: the exact-dup-class collapse groups by the comparison key
+    (md5 text / simhash / prefix), so all NULL-text docs fall into one
+    NULL-keyed class — and the intra expansion must NOT emit hamming-0 /
+    jaccard-1 / edit-dist-0 pairs for them, because the uncollapsed plans
+    emitted none (NULL equi-join keys never match; NULL levenshtein was
+    filtered). Real pairs among non-NULL docs must be unaffected."""
+    rows = [
+        (1, BASE), (2, BASE),
+        (3, None), (4, None), (5, None),  # planted NULL-text class
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    mh = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.5
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in mh} == {(1, 2)}
+
+    sh = dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert {(r.id_a, r.id_b) for r in sh} == {(1, 2)}
+
+    # editdist query path: synthesize a documents table with NULL texts
+    import tempfile
+
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            [
+                (1, "identical prefix here", "en", "web", 21),
+                (2, "identical prefix here", "en", "web", 21),
+                (3, None, "en", "web", 0),
+                (4, None, "en", "web", 0),
+                (5, "identical prefix here", None, "web", 21),  # NULL block key
+                (6, "identical prefix here", None, "web", 21),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        out = all_queries()["ext_dedup_editdist"].fn(spark, d).collect()
+        assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}

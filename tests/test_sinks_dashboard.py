@@ -72,6 +72,51 @@ def test_upsert_replaces_matched_appends_unmatched_idempotently(spark, tmp_path,
     assert {tuple(r) for r in twice.select("k", "s", "v").collect()} == expected
 
 
+def test_document_store_recovers_schema_from_populated_collection(spark):
+    """ADVICE r7: constructed over an already-populated collection (the
+    live-Mongo path — ``MongoClient(...)[db][coll]`` handed in),
+    ``exists()`` is True so ``initialize`` never runs; the first read must
+    recover the schema from storage the way the parquet/JDBC backends do,
+    not crash on ``self._schema.fields``. Also pins the empty-collection
+    +no-schema diagnostic and the explicit-schema constructor path."""
+    from mini_project_big_data_analysis_spark.sources.writers import (
+        DocumentKeyedStore,
+        InMemoryDocumentCollection,
+        upsert_into,
+    )
+
+    coll = InMemoryDocumentCollection()
+    seed = DocumentKeyedStore(spark, coll)
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, s string, v double"
+    )
+    upsert_into(seed, base, keys=["k"], n_buckets=4)
+
+    # fresh store over the live collection: no initialize, schema inferred
+    fresh = DocumentKeyedStore(spark, coll)
+    assert fresh.exists()
+    got = {tuple(r) for r in fresh.read_all().select("k", "s", "v").collect()}
+    assert got == {(1, "a", 1.0), (2, "b", 2.0)}
+    # and a MERGE through the fresh store works end-to-end
+    upd = spark.createDataFrame([(2, "B", 20.0)], "k long, s string, v double")
+    merged = upsert_into(fresh, upd, keys=["k"], n_buckets=4)
+    assert {tuple(r) for r in merged.select("k", "s", "v").collect()} == {
+        (1, "a", 1.0),
+        (2, "B", 20.0),
+    }
+
+    # explicit-schema constructor path
+    coll2 = InMemoryDocumentCollection()
+    coll2.docs.extend(dict(d) for d in coll.docs)
+    typed = DocumentKeyedStore(spark, coll2, schema=fresh._schema)
+    assert typed.read_all().count() == 2
+
+    # empty collection + no schema: a clear diagnostic, not AttributeError
+    empty = DocumentKeyedStore(spark, InMemoryDocumentCollection())
+    with pytest.raises(ValueError, match="no schema"):
+        empty.read_all()
+
+
 def test_jdbc_store_bucket_read_is_pushed_down(spark, tmp_path):
     """read_buckets' __bucket filter must reach the remote engine as a
     pushed predicate (the JDBC analogue of partition pruning) — a full
