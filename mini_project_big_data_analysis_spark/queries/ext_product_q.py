@@ -370,7 +370,10 @@ def ext_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_freq": -F.col("frequency").cast("double"),
             "neg_mon": -F.col("monetary"),
         }
-    )
+    ).localCheckpoint(eager=True)  # events scan+agg runs ONCE: the
+    # user-grain table feeds the boundary action AND the three rank
+    # pipelines AND the final agg (executor-local materialization —
+    # distributed, user-grain-sized, not a driver collect)
     n_buckets = 32
     probs = [i / n_buckets for i in range(1, n_buckets)]
     b_rec, b_frq, b_mon = keyed.approxQuantile(
