@@ -655,8 +655,12 @@ def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents share a bucket by construction, so the o_custkey tie-break
     stays bucket-local. The moments are distributive sums. Exactness
     trick: spend converts to integer CENTS before ranking and summation,
-    so Σ i·xᵢ and Σx are EXACT integer aggregates on both engines — no
-    float association noise reaches the final two divisions."""
+    and Σ i·xᵢ / Σx accumulate in DECIMAL(38,0) — rank × cents products
+    overflow int64 already at the sf3 stress fixture (ANSI mode throws;
+    caught by the round-8 scaling sweep), and DuckDB's BIGINT sum widens
+    to HUGEINT for the same reason. Both engines therefore hold the sums
+    EXACTLY and convert to double only at the final divisions — no float
+    association noise, no overflow until 10³⁸."""
     from ..operators.relational import distributed_global_rank
 
     orders = load(spark, sf_dir, "orders")
@@ -667,12 +671,16 @@ def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, "cents", ["o_custkey"], n_buckets=16
     ).select("cents", F.col("gr_i").alias("i"))
     n = F.count(F.lit(1))
+    # decimal(18,0) × decimal(19,0) → decimal(38,0): exact, in-bounds
+    s1 = F.sum(
+        F.col("i").cast("decimal(18,0)") * F.col("cents").cast("decimal(19,0)")
+    ).cast("double")
+    s2 = F.sum(F.col("cents").cast("decimal(38,0)"))
     return ranked.agg(
         n.alias("n_customers"),
-        F.round(F.sum("cents") / 100.0, 2).alias("total_spend"),
+        F.round((s2 / 100.0).cast("double"), 2).alias("total_spend"),
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("cents")) / (n * F.sum("cents"))
-            - (n + F.lit(1.0)) / n,
+            2.0 * s1 / (n * s2.cast("double")) - (n + F.lit(1.0)) / n,
             6,
         ).alias("gini"),
     )
