@@ -415,10 +415,25 @@ def semantic_dedup(
     ``block_col=None`` clusters by nearest deterministic centroid (one
     Arrow matmul per batch — the paper's k-means step, seeded identically
     to the IVF index so the two share layout); an explicit column makes the
-    operator exact-within-block and SQL-mirrorable. Pipeline: blocked BLAS
-    gram pairs (never all-pairs) → min-label connected components →
-    left_anti of the dropped ids. At 100 TB each stage is the already-
-    scale-shaped operator it delegates to."""
+    operator exact-within-block and SQL-mirrorable. Pipeline: exact-dup
+    class collapse → blocked BLAS gram pairs over one representative per
+    distinct (block, vector) — never all-pairs — → min-label connected
+    components → left_anti of the dropped ids. At 100 TB each stage is the
+    already-scale-shaped operator it delegates to.
+
+    The class collapse is the round-7/8 dedup-tier lesson applied here:
+    byte-identical vectors are pairwise cosine-1 (when norm > 0), so a
+    D-member duplicate class needs NO gram work to connect — members
+    rejoin the graph as a STAR of D−1 (representative, member) edges,
+    which is even cheaper than the pair-expansion the text tiers use
+    (components don't need the D² pair list, only connectivity). Component
+    structure and min-id survivors are exactly the uncollapsed plan's: the
+    class star is connected, its min id IS the representative, and
+    cross-class pairs attach through it. Zero-norm, non-finite, and NULL
+    vectors get no star edges — their uncollapsed cosine is NULL/NaN and
+    produced no pairs (the ADVICE-r7 NULL-class rule); threshold > 1
+    likewise yields no intra edges, matching cosine ≤ 1. Measured: sf10's
+    100-deep dup classes took ext_semdedup 83 → ~6 s (SCALING.md)."""
     from .components import connected_components
 
     if block_col is None:
@@ -428,15 +443,50 @@ def semantic_dedup(
             "semdedup_cell", F.element_at(nearest1(F.col(vec_col)), 1)
         )
         block_col = "semdedup_cell"
+    classes = (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .groupBy(
+            F.col(block_col).alias("__blk"),
+            F.md5(F.to_json(F.struct(F.col(vec_col)))).alias("__ck"),
+        )
+        .agg(
+            F.min(id_col).alias("__rep"),
+            F.sort_array(F.collect_list(id_col)).alias("__ids"),
+            F.first(vec_col).alias("__vec"),
+        )
+    )
+    reps = classes.select(
+        F.col("__rep").alias(id_col),
+        F.col("__blk").alias(block_col),
+        F.col("__vec").alias(vec_col),
+    )
     pairs = embedding_near_dup_pairs(
-        vectors,
+        reps,
         threshold,
         block_col=block_col,
         id_col=id_col,
         vec_col=vec_col,
         block_cap=block_cap,
     )
-    comp = connected_components(pairs, "id_a", "id_b")
+    # squared norm: > 0 and finite ⇔ the uncollapsed intra-class cosine
+    # was exactly 1 (NaN/zero/inf vectors produced NULL/NaN, no pairs)
+    sq = F.aggregate(
+        F.col("__vec"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    star = (
+        classes.filter(
+            (F.size("__ids") >= 2)
+            & (sq > 0)
+            & (sq < F.lit(float("inf")))
+            & F.lit(threshold <= 1.0)
+        )
+        .select(F.col("__rep").alias("id_a"), F.explode("__ids").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    edges = pairs.select("id_a", "id_b").unionByName(star)
+    comp = connected_components(edges, "id_a", "id_b")
     dropped = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias(id_col)
     )
