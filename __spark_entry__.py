@@ -29,87 +29,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def coverage_rotation() -> list[str]:
-    """Driver correctness-coverage rotation for THIS round (round 8).
+    """Driver correctness-coverage rotation for THIS round (round 9).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
     iteration order each round, so with 236 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly, executing the plan
-    pre-written in COVERAGE_ROTATION.md at the end of round 7:
+    pre-written in COVERAGE_ROTATION.md at the end of round 8. After round 8
+    every oracle-bearing id has at least one driver row, so the window is
+    now pure stalest-first:
 
-    1. NEVER driver-checked ids first: the 18 §2.9i overflow ids displaced
-       from the round-7 window (each judge-verified green twice, r6 and r7).
-       ``ext_user_rfm`` and ``ext_vocab_growth`` are in this set AND receive
-       their single-partition-window fixes this round, so the fixes earn
-       driver rows immediately.
-    2. ids whose last driver check FAILED (none — round 7 was 50/50 green).
-    3. Stalest re-verification: the 15 round-3-displaced ids (last driver
-       row round 3 — the oldest stale set), then the alphabetically-first
-       17 round-4 ids.
+    1. The 32 remaining round-4-stale ids (last driver row round 4 — the
+       oldest stale set).
+    2. The alphabetically-first 18 round-5-stale ids.
 
-    After this window executes, EVERY oracle-bearing id in the registry has
-    at least one driver-recorded hash row, and the steady-state stalest-
-    first cycle (~4.7 rounds at 236 ids / 50 slots) begins; see
-    COVERAGE_ROTATION.md's round-9 plan.
+    See COVERAGE_ROTATION.md's round-10 plan for the pre-written next
+    window (the remaining 32 round-5 ids + the first 18 round-6 ids).
     """
-    overflow_never_checked = [
-        "ext_pipeline_e2e",
-        "ext_rank_normalize",
-        "window_nth_value",
-        "ext_user_rfm",
-        "ext_graph_degree_dist",
-        "ext_lang_confusion",
-        "ext_smoothed_rates",
-        "ext_ab_power",
-        "ext_changepoint_meanshift",
-        "ext_psi_stability",
-        "ext_basket_lift",
-        "ext_benford_audit",
-        "ext_seasonality_index",
-        "ext_vocab_growth",
-        "ext_cohort_ltv",
-        "ext_percentile_bands",
-        "ext_sample_pps",
-        "ext_dedup_keep_best",
-    ]
-    round3_displaced = [
-        "stream_clean_sink",
-        "stream_stateful_stats",
-        "stream_weather_pipeline",
-        "ext_multimodal_chunks",
-        "ext_multimodal_features",
-        "ext_multimodal_meta",
-        "fn_regex_extract",
-        "join_bucketed",
-        "ext_dedup_exact",
-        "ext_dedup_fingerprint",
-        "ext_dedup_ngram",
-        "ext_dedup_simhash",
-        "ext_dedup_components",
-        "ext_sim_topk",
-        "ext_emb_neardup",
-    ]
     round4_stalest = [
-        "agg_corr_stats",
-        "agg_count",
-        "agg_describe",
-        "agg_distinct_sorted",
-        "agg_global_stats",
-        "agg_group_avg",
-        "agg_grouping_sets",
-        "agg_hll_distinct",
-        "agg_min_max",
-        "agg_mode",
-        "agg_pivot",
-        "agg_time_window",
-        "agg_value_counts",
-        "ext_dedup_editdist",
-        "ext_dedup_incremental",
-        "ext_embed_centroids",
-        "ext_quality_gate",
+        "ext_semdedup",
+        "ext_tfidf_topterms",
+        "filt_empty_guard",
+        "filt_isin",
+        "filt_not_null",
+        "filt_ts_range",
+        "flagship_region_hourly_stats",
+        "fn_array_first_field",
+        "fn_cast_round",
+        "fn_dim_lookup",
+        "fn_epoch_to_ts",
+        "fn_json_parse_polymorphic",
+        "fn_map_wordcounts",
+        "fn_string_strip",
+        "fn_try_cast",
+        "fn_ts_add_offset",
+        "fn_ts_format",
+        "fn_ts_parse",
+        "fn_url_extract",
+        "join_broadcast_dim",
+        "join_dpp_partitioned",
+        "join_inner_equi",
+        "join_left_anti",
+        "sql_tpch_q10",
+        "sql_tpch_q18",
+        "sql_tpch_q21",
+        "src_text_roundtrip",
+        "stream_dedup",
+        "stream_fanout_sinks",
+        "stream_static_enrich",
+        "window_cume_dist",
+        "window_range_frame",
     ]
-    return overflow_never_checked + round3_displaced + round4_stalest
+    round5_stalest = [
+        "agg_cached_dashboard",
+        "agg_udaf_geomean",
+        "ext_bm25_search",
+        "ext_cdc_merge",
+        "ext_dedup_url",
+        "ext_doc_chunk",
+        "ext_paragraph_dedup",
+        "ext_repetition_stats",
+        "ext_scd2_dim",
+        "ext_split_leakage",
+        "ext_unigram_logprob",
+        "join_left_semi",
+        "join_outer",
+        "limit_head",
+        "proj_nested_extract",
+        "proj_rename",
+        "proj_select_cols",
+        "proj_unpivot",
+    ]
+    return round4_stalest + round5_stalest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
