@@ -252,6 +252,21 @@ def distributed_global_rank(
         pid = F.size(F.filter(barr, lambda b: b <= F.col(key)))
     else:
         pid = F.lit(0)
+    # Enforce the documented non-null precondition at execution time
+    # (ADVICE r8): a NULL key would bucket-0 NULLS FIRST here while the
+    # single-window spelling it must match puts NULLS LAST under the
+    # DESC-via-negation callers, and approxQuantile ignored it when the
+    # boundaries were drawn — silent quintile drift. Fail loudly instead;
+    # callers filter or coalesce NULLs first.
+    pid = F.when(
+        F.col(key).isNull(),
+        F.raise_error(
+            F.lit(
+                f"distributed_global_rank: NULL in key column {key!r} — "
+                "filter or coalesce NULL keys before ranking"
+            )
+        ).cast("int"),
+    ).otherwise(pid)
     parts = df.withColumn("__gr_pid", pid)
     cnt = parts.groupBy("__gr_pid").agg(F.count(F.lit(1)).alias("__gr_c"))
     cnt_b = cnt.select(

@@ -360,14 +360,54 @@ class DocumentKeyedStore(KeyedTableStore):
         from itertools import islice
 
         from pyspark.sql import Row
+        from pyspark.sql import types as T
 
-        sample = [Row(**d) for d in islice(iter(self.collection.find({})), 100)]
+        # Live-Mongo documents carry '_id' (an ObjectId insert_many added —
+        # not a row field and not Spark-mappable): project it out server-side
+        # where the client supports projections, strip client-side where the
+        # stand-in's query-only find() does not (ADVICE r8).
+        try:
+            cursor = self.collection.find({}, {"_id": 0})
+        except TypeError:  # InMemoryDocumentCollection: find(query) only
+            cursor = self.collection.find({})
+        sample = [
+            {k: v for k, v in d.items() if k != "_id"}
+            for d in islice(iter(cursor), 100)
+        ]
         if not sample:
             raise ValueError(
                 "DocumentKeyedStore has no schema: collection is empty and "
                 "no schema was passed to the constructor"
             )
-        self._schema = self.spark.createDataFrame(sample).schema
+        # Document stores don't enforce homogeneous key sets; normalize every
+        # sampled doc to the union of keys (first-seen order) so Row-based
+        # inference sees one consistent shape, absent keys as NULL.
+        keys: list[str] = []
+        for d in sample:
+            for k in d:
+                if k not in keys:
+                    keys.append(k)
+        if not keys:
+            raise ValueError(
+                "DocumentKeyedStore has no schema: sampled documents have no "
+                "fields; pass schema= to the constructor"
+            )
+        # A field NULL across the whole sample has no inferable type; widen
+        # it to string (the JSON-superset default) instead of failing —
+        # callers with a known contract pass schema= explicitly.
+        all_none = {k for k in keys if all(d.get(k) is None for d in sample)}
+        typed = [k for k in keys if k not in all_none]
+        typemap: dict[str, T.DataType] = {}
+        if typed:
+            rows = [Row(**{k: d.get(k) for k in typed}) for d in sample]
+            inferred = self.spark.createDataFrame(rows).schema
+            typemap = {f.name: f.dataType for f in inferred.fields}
+        self._schema = T.StructType(
+            [
+                T.StructField(k, typemap.get(k, T.StringType()), True)
+                for k in keys
+            ]
+        )
 
     def _insert_frame(self, df: DataFrame) -> None:
         batch: list[dict] = []

@@ -117,6 +117,53 @@ def test_document_store_recovers_schema_from_populated_collection(spark):
         empty.read_all()
 
 
+def test_document_store_schema_inference_survives_live_mongo_debris(spark):
+    """ADVICE r8: live-pymongo collections hand back documents with '_id'
+    (an ObjectId ``insert_many`` added — not Spark-mappable), heterogeneous
+    key sets, and sometimes a field that is NULL across the whole sample.
+    ``_ensure_schema`` must project/strip '_id', normalize the sample to
+    the union of keys, and widen all-NULL fields to string instead of
+    failing inference."""
+    from mini_project_big_data_analysis_spark.sources.writers import (
+        DocumentKeyedStore,
+        InMemoryDocumentCollection,
+    )
+
+    class FakeObjectId:  # stand-in for bson.ObjectId: not Spark-mappable
+        pass
+
+    class ProjectingCollection(InMemoryDocumentCollection):
+        """pymongo-shaped two-arg find(filter, projection) honoring
+        {'_id': 0} — exercises the server-side projection branch."""
+
+        def find(self, query=None, projection=None):
+            docs = super().find(query)
+            if projection == {"_id": 0}:
+                return [{k: v for k, v in d.items() if k != "_id"} for d in docs]
+            assert projection is None
+            return docs
+
+    debris = [
+        {"_id": FakeObjectId(), "k": 1, "s": "a", "extra": None},
+        {"_id": FakeObjectId(), "k": 2, "v": 2.5, "extra": None},  # no 's'
+        {"_id": FakeObjectId(), "k": 3, "s": "c", "v": 3.5, "extra": None},
+    ]
+
+    for coll in (ProjectingCollection(), InMemoryDocumentCollection()):
+        coll.docs.extend(dict(d) for d in debris)
+        store = DocumentKeyedStore(spark, coll)
+        store._ensure_schema()
+        names = [f.name for f in store._schema.fields]
+        assert "_id" not in names, "ObjectId field leaked into the schema"
+        assert set(names) == {"k", "s", "v", "extra"}, "union of keys expected"
+        assert store._schema["extra"].dataType.simpleString() == "string"
+        got = {
+            (r["k"], r["s"], r["v"], r["extra"])
+            for r in store.read_all().collect()
+        }
+        assert got == {(1, "a", None, None), (2, None, 2.5, None), (3, "c", 3.5, None)}
+
+
 def test_jdbc_store_bucket_read_is_pushed_down(spark, tmp_path):
     """read_buckets' __bucket filter must reach the remote engine as a
     pushed predicate (the JDBC analogue of partition pruning) — a full
