@@ -423,17 +423,23 @@ def semantic_dedup(
 
     The class collapse is the round-7/8 dedup-tier lesson applied here:
     byte-identical vectors are pairwise cosine-1 (when norm > 0), so a
-    D-member duplicate class needs NO gram work to connect — members
-    rejoin the graph as a STAR of D−1 (representative, member) edges,
-    which is even cheaper than the pair-expansion the text tiers use
-    (components don't need the D² pair list, only connectivity). Component
-    structure and min-id survivors are exactly the uncollapsed plan's: the
-    class star is connected, its min id IS the representative, and
-    cross-class pairs attach through it. Zero-norm, non-finite, and NULL
-    vectors get no star edges — their uncollapsed cosine is NULL/NaN and
-    produced no pairs (the ADVICE-r7 NULL-class rule); threshold > 1
-    likewise yields no intra edges, matching cosine ≤ 1. Measured: sf10's
-    100-deep dup classes took ext_semdedup 83 → ~6 s (SCALING.md)."""
+    D-member duplicate class needs NO gram work to connect. Since round 9
+    the transitive closure ALSO runs on the collapsed graph: a member's
+    component is by construction its representative's component (the class
+    rep is the class min id, so an expanded component's min id is the min
+    over its classes' reps), so connected components runs over the rep
+    pair graph only — label-table size scales with DISTINCT embeddings,
+    not corpus — and the dropped set is assembled row-locally as
+    (members ≠ rep of connectable classes) ∪ (reps whose rep-graph
+    component label isn't themselves). This removed the one data-
+    proportional iterative stage: at sf10 components over all 200k member
+    nodes was 17.3 s of a ~25 s total, vs ~2 s over the 2k reps
+    (SCALING.md round-9 probe). Zero-norm, non-finite, and NULL vectors
+    are not connectable — their uncollapsed cosine is NULL/NaN and
+    produced no pairs (the ADVICE-r7 NULL-class rule), so their members
+    all survive; threshold > 1 likewise yields no intra-class drops,
+    matching cosine ≤ 1. Survivor sets are exactly the uncollapsed
+    plan's; the recursive-CTE oracle pins the equivalence."""
     from .components import connected_components
 
     if block_col is None:
@@ -468,28 +474,30 @@ def semantic_dedup(
         vec_col=vec_col,
         block_cap=block_cap,
     )
+    comp = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    dropped_reps = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
     # squared norm: > 0 and finite ⇔ the uncollapsed intra-class cosine
-    # was exactly 1 (NaN/zero/inf vectors produced NULL/NaN, no pairs)
+    # was exactly 1 (NaN/zero/inf vectors produced NULL/NaN, no pairs) —
+    # only such classes drop their non-representative members
     sq = F.aggregate(
         F.col("__vec"),
         F.lit(0.0),
         lambda a, x: a + x.cast("double") * x.cast("double"),
     )
-    star = (
+    dropped_members = (
         classes.filter(
             (F.size("__ids") >= 2)
             & (sq > 0)
             & (sq < F.lit(float("inf")))
             & F.lit(threshold <= 1.0)
         )
-        .select(F.col("__rep").alias("id_a"), F.explode("__ids").alias("id_b"))
-        .filter(F.col("id_a") != F.col("id_b"))
+        .select(F.col("__rep"), F.explode("__ids").alias(id_col))
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(id_col)
     )
-    edges = pairs.select("id_a", "id_b").unionByName(star)
-    comp = connected_components(edges, "id_a", "id_b")
-    dropped = comp.filter(F.col("node") != F.col("comp")).select(
-        F.col("node").alias(id_col)
-    )
+    dropped = dropped_reps.unionByName(dropped_members)
     return vectors.join(dropped, id_col, "left_anti").drop("semdedup_cell")
 
 

@@ -73,7 +73,10 @@ def stream_clean_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming deduplication with a STRONG oracle: every source
     file is delivered TWICE (a simulated at-least-once replay of the
-    reference's consumer, consumer.py:21-23), watermarked dropDuplicates on
+    reference's consumer, consumer.py:21-23), watermarked
+    dropDuplicatesWithinWatermark (the state-evicting form — plain
+    dropDuplicates without the event-time key never evicts; see
+    streaming/pipeline.py) on
     the unique event_id eliminates the second delivery in keyed state, and
     the sink must hash-equal the batch-cleaned single-delivery table — one
     surviving duplicate or one lost key breaks the hash."""

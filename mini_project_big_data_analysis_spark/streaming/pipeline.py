@@ -332,7 +332,7 @@ def run_stream_dedup_availablenow(
     """Stateful streaming dedup to completion, proven against a REAL
     duplicate delivery: every source file is delivered twice (the
     reference's at-least-once failure mode — a replay after restart,
-    consumer.py:21-23), and watermarked ``dropDuplicates`` on the unique
+    consumer.py:21-23), and watermarked ``dropDuplicatesWithinWatermark`` on the unique
     ``event_id`` keeps one state entry per key so the second delivery never
     reaches the sink.
 
@@ -345,7 +345,12 @@ def run_stream_dedup_availablenow(
     The watermark bounds state: at 100 TB-scale ingest, keys older than the
     watermark are evicted instead of accumulating forever (the replay
     window a real pipeline must tolerate is bounded by checkpoint cadence,
-    well inside the watermark).
+    well inside the watermark). That requires ``dropDuplicatesWithinWatermark``
+    — plain ``dropDuplicates`` on a key subset WITHOUT the event-time column
+    never evicts, whatever the watermark says (measured round 9: peak state
+    = the full 10M-key domain at sf10 under paced delivery; the
+    within-watermark form pegs it at keys-per-horizon —
+    tests/test_sf10_invariants.py).
     """
     import shutil
 
@@ -365,7 +370,7 @@ def run_stream_dedup_availablenow(
     stream = clean_event_stream(raw.withColumn("ts", raw_epoch_to_ts("ts")))
     deduped = (
         stream.withWatermark("event_time", "1 hour")
-        .dropDuplicates([*keys])
+        .dropDuplicatesWithinWatermark([*keys])
         .select("event_id", "user_id", "event_type", "value")
     )
     q = (

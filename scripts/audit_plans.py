@@ -15,6 +15,7 @@ watermark/trigger-bounded by design and audited in tests).
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, ".")
@@ -40,6 +41,37 @@ ALLOWED = {
 }
 
 
+# Operator names that make a SinglePartition input a one-task scale-killer.
+# Word-boundary anchored so 'Sort' can NOT match SortMergeJoin/SortAggregate
+# (their next char is a word char) — ADVICE r8 fixed the substring matcher
+# that false-flagged those and missed consumers >2 lines above.
+_BAD_CONSUMER = re.compile(r"^(Sort|Window(GroupLimit)?)\b")
+
+
+def _depth(line: str) -> int:
+    """Tree depth of a plan line = column of its branch marker ('+- '/':- ');
+    root operators (no marker) are depth -1 so they parent everything."""
+    idxs = [i for i in (line.find("+- "), line.find(":- ")) if i >= 0]
+    return min(idxs) if idxs else -1
+
+
+def _opname(line: str) -> str:
+    """Operator name with branch marker and WholeStageCodegen star stripped."""
+    s = re.sub(r"^.*?(?:\+\-|\:\-)\s*", "", line)
+    return re.sub(r"^\*\(\d+\)\s*", "", s).lstrip()
+
+
+def _parent(tree: list[str], i: int) -> str | None:
+    """The true consumer of tree[i]: nearest line above at smaller depth —
+    a fixed lookback misses parents separated by a Project/Filter sibling
+    subtree (false pass) and reads unrelated lines as parents (false flag)."""
+    d = _depth(tree[i])
+    for j in range(i - 1, -1, -1):
+        if _depth(tree[j]) < d:
+            return tree[j]
+    return None
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -60,9 +92,9 @@ def main() -> int:
         hits = []
         for i, line in enumerate(tree):
             if "Exchange SinglePartition" in line:
-                parents = " ".join(tree[max(0, i - 2) : i])
-                if "Sort" in parents or "Window" in parents:
-                    hits.append("\n".join(tree[max(0, i - 2) : i + 1]))
+                parent = _parent(tree, i)
+                if parent is not None and _BAD_CONSUMER.match(_opname(parent)):
+                    hits.append("\n".join([parent, line]))
         if hits and qid in ALLOWED:
             print(f"ALLOW {qid}: {ALLOWED[qid]}")
         elif hits:

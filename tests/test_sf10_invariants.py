@@ -166,3 +166,116 @@ def test_simhash_pairs_sf10_planted_dup_invariants(spark):
         f"intra-class pair completeness: got {row.h0_same_total}, "
         f"expected {cls.expected_h0} across {cls.n_classes} classes"
     )
+
+
+def test_stream_dedup_watermark_bounds_state_at_sf10(spark, tmp_path):
+    """VERDICT r8 item 6: the registered stream_dedup fixture delivers the
+    whole corpus in ONE micro-batch, so its state holds every key and the
+    measured sf-curve exponent (0.57) is key-domain growth, not the
+    operator's scale posture. The documented claim is TIME-bounded state:
+    with event-time-ordered arrival the watermark evicts keys older than
+    the horizon, so peak state tracks keys-per-horizon — a property of the
+    ingest rate, independent of how many corpus-lifetimes long the stream
+    runs. This pins that claim with a measured run at sf10 (10M events):
+    time-sorted chunks delivered TWICE (the at-least-once replay),
+    maxFilesPerTrigger-paced micro-batches, and the state-store progress
+    metrics must show peak numRowsTotal at a small fraction of the key
+    domain while the sink still exactly equals the clean key set."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from mini_project_big_data_analysis_spark.sources.events import raw_epoch_to_ts
+    from mini_project_big_data_analysis_spark.streaming.pipeline import (
+        EVENTS_RAW,
+        clean_event_stream,
+    )
+
+    t = pq.read_table(os.path.join(SF10_DIR, "events.parquet"))
+    # int64 epoch ts (µs after the cast below — raw_epoch_to_ts's magnitude
+    # test handles either unit), time-sorted so arrival order = event order
+    t = t.sort_by("ts")
+    t = t.set_column(
+        t.schema.get_field_index("ts"), "ts", pc.cast(t["ts"], "int64")
+    )
+    n_keys = len(
+        t.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(t["value"]), pc.is_valid(t["ts"])),
+                pc.is_valid(t["event_type"]),
+            )
+        )
+    )
+
+    n_chunks = 16
+    delivery = tmp_path / "delivery"
+    delivery.mkdir()
+    rows_per = (t.num_rows + n_chunks - 1) // n_chunks
+    mtime = 1_600_000_000
+    for i in range(n_chunks):
+        chunk = t.slice(i * rows_per, rows_per)
+        for copy in ("a", "b"):  # byte-identical double delivery
+            p = delivery / f"chunk_{i:03d}_{copy}.parquet"
+            pq.write_table(chunk, p)
+            mtime += 10  # file source paces oldest-modTime-first
+            os.utime(p, (mtime, mtime))
+
+    sink = tmp_path / "sink"
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(delivery))
+    )
+    stream = clean_event_stream(raw.withColumn("ts", raw_epoch_to_ts("ts")))
+    # dropDuplicatesWithinWatermark, NOT dropDuplicates: the plain form on
+    # a key subset without the event-time column NEVER evicts state — this
+    # very test measured peak state = the full 10M-key domain before the
+    # round-9 pipeline fix switched the operator to the within-watermark
+    # form (which evicts keys once the watermark passes their event time).
+    deduped = (
+        stream.withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    # RocksDB state store: ~600k keys/batch of keyed state is off-heap
+    # there (the production config at this state size — the default
+    # HDFS-backed provider keeps every retained version on the driver-
+    # executor heap and OOMs the 2g test JVM).
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    states = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    peak = max(states)
+    batches = len(states)
+    got = spark.read.parquet(str(sink)).count()
+    assert got == n_keys, "sink must equal the clean single-delivery key set"
+    assert batches >= n_chunks, "delivery was not paced into micro-batches"
+    # Eviction is the claim: peak state ≈ keys per (chunk + 1h horizon),
+    # far below the full key domain the one-batch fixture holds.
+    assert peak < 0.25 * n_keys, (
+        f"peak state {peak} rows vs {n_keys} keys — watermark not evicting"
+    )
+    print(f"SCALING: sf10 stream_dedup peak_state={peak} keys={n_keys} "
+          f"batches={batches} frac={peak / n_keys:.3f}")
