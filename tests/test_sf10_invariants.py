@@ -279,3 +279,144 @@ def test_stream_dedup_watermark_bounds_state_at_sf10(spark, tmp_path):
     )
     print(f"SCALING: sf10 stream_dedup peak_state={peak} keys={n_keys} "
           f"batches={batches} frac={peak / n_keys:.3f}")
+
+
+def test_stream_stream_join_watermark_bounds_state_at_sf10(spark, tmp_path):
+    """Same posture pin for the attribution join: run_stream_stream_join's
+    docstring claims each side buffers ~(watermark + join range) hours of
+    keyed rows, because the time-interval condition lets Spark expire
+    state. Paced, time-ordered delivery of sf10's 10M events must show
+    peak join state at a small fraction of the click+purchase row count,
+    with the streamed sink still row-identical to the batch band join."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from mini_project_big_data_analysis_spark.sources.events import raw_epoch_to_ts
+    from mini_project_big_data_analysis_spark.streaming.pipeline import (
+        EVENTS_RAW,
+        clean_event_stream,
+    )
+
+    t = pq.read_table(os.path.join(SF10_DIR, "events.parquet")).sort_by("ts")
+    t = t.set_column(
+        t.schema.get_field_index("ts"), "ts", pc.cast(t["ts"], "int64")
+    )
+    n_chunks = 8
+    delivery = tmp_path / "delivery"
+    delivery.mkdir()
+    rows_per = (t.num_rows + n_chunks - 1) // n_chunks
+    mtime = 1_600_000_000
+    for i in range(n_chunks):
+        p = delivery / f"chunk_{i:03d}.parquet"
+        pq.write_table(t.slice(i * rows_per, rows_per), p)
+        mtime += 10
+        os.utime(p, (mtime, mtime))
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(delivery))
+    )
+    ev = clean_event_stream(raw.withColumn("ts", raw_epoch_to_ts("ts")))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("click_time") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "inner",
+    ).select("click_id", "purchase_id")
+
+    sink = tmp_path / "sink"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(900)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    states = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    peak, batches = max(states), len(states)
+
+    # Batch reference: the same band join on the batch-cleaned table.
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    bev = load(spark, SF10_DIR, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    bc = bev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_time"),
+    )
+    bp = bev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_time"),
+    )
+    expected = bc.join(
+        bp,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("click_time") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "inner",
+    ).select("click_id", "purchase_id")
+
+    got = spark.read.parquet(str(sink))
+    n_expected = expected.count()
+    assert got.count() == n_expected, "paced join lost or duplicated matches"
+    assert got.exceptAll(expected).count() == 0
+    n_side_rows = bc.count() + bp.count()
+    assert batches >= n_chunks
+    assert peak < 0.5 * n_side_rows, (
+        f"peak join state {peak} vs {n_side_rows} side rows — not expiring"
+    )
+    print(
+        f"SCALING: sf10 stream_stream_join peak_state={peak} "
+        f"side_rows={n_side_rows} matches={n_expected} batches={batches} "
+        f"frac={peak / n_side_rows:.3f}"
+    )
