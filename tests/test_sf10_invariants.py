@@ -1,6 +1,7 @@
-"""Measured-scale correctness pins for ids whose DuckDB oracle cannot
-follow to the sf10 stress fixture (SCALING.md: the simhash SQL twin's
-64-bit-plane expansion is a ~3-billion-row CTE in DuckDB).
+"""Measured-scale correctness pins at the sf10 stress fixture for ids
+whose DuckDB oracle cannot (simhash: the SQL twin's 64-bit-plane
+expansion is a ~3-billion-row CTE) or does not (fuzzy, the streaming
+state ids) follow to that scale — see SCALING.md's round-9 sections.
 
 The sf10 fixture (scripts/make_sf1.py with copies=100) is 100 key-shifted
 copies of sf0.1: doc_ids shift by i*stride, texts repeat verbatim — so
@@ -48,33 +49,24 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_simhash_pairs_sf10_planted_dup_invariants(spark):
-    from mini_project_big_data_analysis_spark.queries import all_queries
+def _digested_docs(spark):
+    """(doc_id, text=md5 digest): carry a 32-byte digest, not the text —
+    the pair-side joins touch ~25M rows, and equal digest <=> equal text
+    for this corpus. NULL text keeps a NULL digest (md5(NULL) is NULL),
+    preserving the NULL checks."""
     from mini_project_big_data_analysis_spark.queries.base import load
 
-    # Carry a 32-byte digest, not the text: the pair-side joins below touch
-    # ~25M rows, and equal digest <=> equal text for this corpus. NULL text
-    # keeps a NULL digest (md5(NULL) is NULL), preserving the NULL checks.
-    docs = load(spark, SF10_DIR, "documents").select(
+    return load(spark, SF10_DIR, "documents").select(
         "doc_id", F.md5("text").alias("text")
     )
 
-    # Expected hamming-0 pair count: C(s,2) per exact-text class, integer
-    # arithmetic throughout. Also pin the fixture's planted shape (>=100-
-    # deep classes) so a wrong fixture can't vacuously pass.
-    classes = docs.filter(F.col("text").isNotNull()).groupBy("text").count()
-    cls = classes.agg(
-        F.sum((F.col("count") * (F.col("count") - F.lit(1))) / F.lit(2))
-        .cast("long")
-        .alias("expected_h0"),
-        F.min("count").alias("min_class"),
-        F.count("*").alias("n_classes"),
-    ).collect()[0]
-    assert cls.min_class >= 100, "fixture is not the 100-deep-copy profile"
-    assert cls.expected_h0 > 0
 
-    pairs = all_queries()["ext_dedup_simhash"].fn(spark, SF10_DIR)
-
+def _pair_group_row(docs, classes, pairs, val_col):
+    """Group a (id_a, id_b, val) pair frame by unordered text-class pair
+    and aggregate the invariant counters. greatest/least canonicalization
+    matters: shifted copy ids interleave, so one class pair's copies split
+    across both (text_a, text_b) orientations. All Spark-side; one row out.
+    """
     # merge-join hints: the 500k-doc digest side trips broadcast OOM under
     # the 2g test driver; sort-merge is the right plan for both sides here.
     texts_a = docs.select(
@@ -83,9 +75,6 @@ def test_simhash_pairs_sf10_planted_dup_invariants(spark):
     texts_b = docs.select(
         F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
     ).hint("merge")
-    # Group the ~28M pairs by unordered text-class pair. The greatest/least
-    # canonicalization matters: shifted copy ids interleave, so one class
-    # pair's copies split across both (text_a, text_b) orientations.
     grp = (
         pairs.join(texts_a, "id_a").join(texts_b, "id_b")
         .select(
@@ -94,21 +83,21 @@ def test_simhash_pairs_sf10_planted_dup_invariants(spark):
             (F.col("text_a") == F.col("text_b")).alias("same"),
             "id_a",
             "id_b",
-            "hamming",
+            F.col(val_col).alias("v"),
             (F.col("text_a").isNull() | F.col("text_b").isNull()).alias("nulltext"),
         )
         .groupBy("ta", "tb", "same")
         .agg(
             F.count("*").alias("n"),
             F.count_distinct("id_a", "id_b").alias("nd"),
-            F.min("hamming").alias("hmin"),
-            F.max("hamming").alias("hmax"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
             F.sum((F.col("id_a") >= F.col("id_b")).cast("long")).alias("bad_order"),
             F.sum(F.col("nulltext").cast("long")).alias("null_text_pairs"),
         )
     )
     sz = classes  # (text digest, class size) — ~5k rows, broadcastable
-    row = (
+    return (
         grp.join(
             F.broadcast(sz.select(F.col("text").alias("ta"), F.col("count").alias("ca"))),
             "ta",
@@ -121,11 +110,11 @@ def test_simhash_pairs_sf10_planted_dup_invariants(spark):
         )
         .agg(
             F.count("*").alias("n_groups"),
+            F.sum(F.col("same").cast("long")).alias("same_groups"),
             F.sum((~F.col("same")).cast("long")).alias("cross_groups"),
-            F.sum((F.col("hmin") != F.col("hmax")).cast("long")).alias("h_varies"),
-            F.sum((F.col("same") & (F.col("hmax") != 0)).cast("long")).alias(
-                "same_text_nonzero_h"
-            ),
+            F.sum((F.col("vmin") != F.col("vmax")).cast("long")).alias("v_varies"),
+            F.min(F.when(F.col("same"), F.col("vmin"))).alias("same_v_min"),
+            F.max(F.when(F.col("same"), F.col("vmax"))).alias("same_v_max"),
             F.sum(
                 (
                     F.col("same")
@@ -143,28 +132,105 @@ def test_simhash_pairs_sf10_planted_dup_invariants(spark):
             F.sum((F.col("nd") != F.col("n")).cast("long")).alias("dup_groups"),
             F.sum("bad_order").alias("bad_order"),
             F.sum("null_text_pairs").alias("null_text_pairs"),
-            F.max("hmax").alias("max_h"),
+            F.max("vmax").alias("max_v"),
+            F.min("vmin").alias("min_v"),
             F.sum(F.when(F.col("same"), F.col("n")).otherwise(F.lit(0)))
             .cast("long")
-            .alias("h0_same_total"),
+            .alias("same_total"),
         )
         .collect()[0]
     )
 
+
+def _assert_group_hygiene(row):
     assert row.null_text_pairs == 0, "NULL-text docs must never form pairs"
     assert row.bad_order == 0, "pairs must be canonical id_a < id_b"
     assert row.dup_groups == 0, "duplicate pairs emitted"
-    assert row.max_h <= 3
-    assert row.h_varies == 0, "hamming not constant within a text-class pair"
-    assert row.same_text_nonzero_h == 0, "equal text hashed apart"
+    assert row.v_varies == 0, "value not constant within a text-class pair"
     assert row.incomplete_same == 0, "intra-class group missing copy pairs"
     assert row.incomplete_cross == 0, "cross-class group missing copy pairs"
     assert row.cross_groups > 0, "fixture should exercise cross-class matches"
+
+
+def test_simhash_pairs_sf10_planted_dup_invariants(spark):
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    docs = _digested_docs(spark)
+    # Expected hamming-0 pair count: C(s,2) per exact-text class, integer
+    # arithmetic throughout. Also pin the fixture's planted shape (>=100-
+    # deep classes) so a wrong fixture can't vacuously pass.
+    classes = docs.filter(F.col("text").isNotNull()).groupBy("text").count()
+    cls = classes.agg(
+        F.sum((F.col("count") * (F.col("count") - F.lit(1))) / F.lit(2))
+        .cast("long")
+        .alias("expected_h0"),
+        F.min("count").alias("min_class"),
+        F.count("*").alias("n_classes"),
+    ).collect()[0]
+    assert cls.min_class >= 100, "fixture is not the 100-deep-copy profile"
+    assert cls.expected_h0 > 0
+
+    pairs = all_queries()["ext_dedup_simhash"].fn(spark, SF10_DIR)
+    row = _pair_group_row(docs, classes, pairs, "hamming")
+
+    _assert_group_hygiene(row)
+    assert 0 <= row.min_v and row.max_v <= 3
+    assert row.same_v_min == 0 and row.same_v_max == 0, "equal text hashed apart"
     # Completeness by exact cardinality: unique canonical pairs + the
     # per-group checks make count-equality a set-equality proof.
-    assert row.h0_same_total == cls.expected_h0, (
-        f"intra-class pair completeness: got {row.h0_same_total}, "
+    assert row.same_total == cls.expected_h0, (
+        f"intra-class pair completeness: got {row.same_total}, "
         f"expected {cls.expected_h0} across {cls.n_classes} classes"
+    )
+
+
+def test_minhash_fuzzy_pairs_sf10_planted_dup_invariants(spark):
+    """The same class-pair completeness/constancy pin for the MinHash-LSH
+    tier: jaccard is a pure function of the text pair, identical texts are
+    jaccard exactly 1.0, and the round-7 class collapse must expand EVERY
+    copy pair. Unlike simhash, shingle-less docs (< k tokens, using the
+    package's own tokenizer/shingle helpers as the eligibility predicate)
+    legitimately produce no pairs — expected counts run over eligible
+    classes only."""
+    from mini_project_big_data_analysis_spark.functions.text_fns import (
+        shingles_from_tokens,
+        whitespace_tokens,
+    )
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    docs = _digested_docs(spark)
+    classes = docs.filter(F.col("text").isNotNull()).groupBy("text").count()
+
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    eligible = (
+        load(spark, SF10_DIR, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.md5("text").alias("text"), whitespace_tokens("text").alias("__toks"))
+        .filter(F.size(F.array_distinct(shingles_from_tokens("__toks", 3))) > 0)
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    cls = eligible.agg(
+        F.sum((F.col("count") * (F.col("count") - F.lit(1))) / F.lit(2))
+        .cast("long")
+        .alias("expected_j1"),
+        F.count("*").alias("n_eligible"),
+    ).collect()[0]
+    assert cls.expected_j1 > 0
+
+    pairs = all_queries()["ext_dedup_fuzzy"].fn(spark, SF10_DIR)
+    row = _pair_group_row(docs, classes, pairs, "jaccard")
+
+    _assert_group_hygiene(row)
+    assert row.min_v >= 0.3, "pair below the jaccard threshold emitted"
+    assert row.max_v <= 1.0
+    assert row.same_v_min == 1.0 and row.same_v_max == 1.0, (
+        "identical texts must verify at jaccard exactly 1.0"
+    )
+    assert row.same_total == cls.expected_j1, (
+        f"intra-class pair completeness: got {row.same_total}, "
+        f"expected {cls.expected_j1} over {cls.n_eligible} eligible classes"
     )
 
 
