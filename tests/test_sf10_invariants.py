@@ -486,3 +486,92 @@ def test_stream_stream_join_watermark_bounds_state_at_sf10(spark, tmp_path):
         f"side_rows={n_side_rows} matches={n_expected} batches={batches} "
         f"frac={peak / n_side_rows:.3f}"
     )
+
+
+def test_stream_tumbling_agg_watermark_bounds_state_at_sf10(spark, tmp_path):
+    """Third state class after dedup keys and join buffers: windowed-
+    aggregate state. With paced in-order delivery and a 10-minute
+    watermark, only windows the watermark hasn't closed stay in state —
+    peak numRowsTotal must track open-windows-per-horizon, a tiny
+    fraction of the total (window × event_type) domain the corpus spans,
+    while append mode emits every closed window exactly once (sink ==
+    batch hourly aggregate for all windows the final watermark passed)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from mini_project_big_data_analysis_spark.sources.events import raw_epoch_to_ts
+    from mini_project_big_data_analysis_spark.streaming.pipeline import (
+        EVENTS_RAW,
+        clean_event_stream,
+        tumbling_agg,
+    )
+
+    t = pq.read_table(os.path.join(SF10_DIR, "events.parquet")).sort_by("ts")
+    t = t.set_column(
+        t.schema.get_field_index("ts"), "ts", pc.cast(t["ts"], "int64")
+    )
+    n_chunks = 8
+    delivery = tmp_path / "delivery"
+    delivery.mkdir()
+    rows_per = (t.num_rows + n_chunks - 1) // n_chunks
+    mtime = 1_600_000_000
+    for i in range(n_chunks):
+        p = delivery / f"chunk_{i:03d}.parquet"
+        pq.write_table(t.slice(i * rows_per, rows_per), p)
+        mtime += 10
+        os.utime(p, (mtime, mtime))
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(delivery))
+    )
+    agg = tumbling_agg(
+        clean_event_stream(raw.withColumn("ts", raw_epoch_to_ts("ts")))
+    )
+    sink = tmp_path / "sink"
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    states = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    peak, batches = max(states), len(states)
+
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    bev = load(spark, SF10_DIR, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    batch_windows = bev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).count()
+    n_windows = batch_windows.count()
+
+    got = spark.read.parquet(str(sink))
+    n_emitted = got.count()
+    # append mode emits only windows the FINAL watermark closed; the last
+    # 10 minutes of the corpus stays open. Every emitted window must be
+    # emitted exactly once.
+    assert n_emitted >= 0.95 * n_windows
+    assert got.select("window_start", "event_type").distinct().count() == n_emitted
+    assert batches >= n_chunks
+    assert peak < 0.6 * n_windows, (
+        f"peak window state {peak} vs {n_windows} total windows"
+    )
+    print(
+        f"SCALING: sf10 stream_tumbling_agg peak_state={peak} "
+        f"windows={n_windows} emitted={n_emitted} batches={batches} "
+        f"frac={peak / n_windows:.3f}"
+    )
