@@ -339,6 +339,15 @@ def _nearest_cells_udf(centroids: list[tuple[int, list[float]]], n_probe: int):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if not centroids:
+        # Zero centroids (only possible from a zero-row corpus): there are
+        # no cells to probe, so every row maps to an empty cell list —
+        # np.linalg.norm over a (0,)-shaped matrix would AxisError instead.
+        def no_cells(vecs):
+            return pd.Series([[] for _ in range(len(vecs))], dtype=object)
+
+        return pandas_udf(no_cells, "array<int>")
+
     cmat = np.asarray([c for _, c in centroids], dtype="float64")
     norms = np.linalg.norm(cmat, axis=1)
     cmat = cmat / np.where(norms == 0.0, 1.0, norms)[:, None]

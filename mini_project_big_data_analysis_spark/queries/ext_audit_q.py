@@ -412,12 +412,20 @@ def ext_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("n_dom"),
     )
+    # nullif(n_rows, 0): a zero-row table has UNDEFINED ratio metrics —
+    # NULL metric/verdict instead of an ANSI DIVIDE_BY_ZERO job failure
+    # (min_row_count still reports 0/false). Identical on any non-empty
+    # table, so oracle parity is untouched.
     return a.selectExpr(
         "stack(5, "
-        "'completeness_custkey', round(n_cust / n_rows, 6), n_cust / n_rows >= 0.99, "
-        "'uniqueness_orderkey', round(n_keys / n_rows, 6), n_keys / n_rows >= 1.0, "
-        "'nonneg_totalprice', round(n_nonneg / n_rows, 6), n_nonneg / n_rows >= 1.0, "
-        "'domain_orderstatus', round(n_dom / n_rows, 6), n_dom / n_rows >= 1.0, "
+        "'completeness_custkey', round(n_cust / nullif(n_rows, 0.0), 6),"
+        " n_cust / nullif(n_rows, 0.0) >= 0.99, "
+        "'uniqueness_orderkey', round(n_keys / nullif(n_rows, 0.0), 6),"
+        " n_keys / nullif(n_rows, 0.0) >= 1.0, "
+        "'nonneg_totalprice', round(n_nonneg / nullif(n_rows, 0.0), 6),"
+        " n_nonneg / nullif(n_rows, 0.0) >= 1.0, "
+        "'domain_orderstatus', round(n_dom / nullif(n_rows, 0.0), 6),"
+        " n_dom / nullif(n_rows, 0.0) >= 1.0, "
         "'min_row_count', n_rows, n_rows >= 1000.0"
         ") AS (rule, metric, passed)"
     )

@@ -107,8 +107,12 @@ def snk_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_partitioned(ev, path, ["event_date"])
     min_date = ev.agg(F.min("event_date")).collect()[0][0]
+    # Explicit schema on the scan-back: a zero-row source writes zero
+    # partition directories, and an inference read of the empty layout
+    # fails (UNABLE_TO_INFER_SCHEMA). The writer knows the schema; at
+    # scale the catalog would.
     return (
-        spark.read.parquet(path)
+        spark.read.schema(ev.schema).parquet(path)
         .filter(F.col("event_date") == F.lit(min_date))
         .select(
             "event_id", "user_id", "event_type", F.round("value", 6).alias("value_r")
@@ -289,8 +293,10 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(), "mpbda_spark_sink", f"dpp_{uuid.uuid4().hex}"
     )
-    write_partitioned(ev.select("event_date", "value"), path, ["event_date"])
-    fact = spark.read.parquet(path)
+    facts = ev.select("event_date", "value")
+    write_partitioned(facts, path, ["event_date"])
+    # explicit schema: survives a zero-partition (empty-source) layout
+    fact = spark.read.schema(facts.schema).parquet(path)
     dim = (
         ev.select("event_date")
         .distinct()
@@ -533,18 +539,20 @@ def src_jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "driver", DERBY_DRIVER
     ).save()
     hi = cust.agg(F.max("c_custkey")).first()[0]  # bounded scalar (dim max key)
-    return (
+    reader = (
         spark.read.format("jdbc")
         .option("url", url)
         .option("dbtable", "cust")
         .option("driver", DERBY_DRIVER)
-        .option("partitionColumn", "c_custkey")
-        .option("lowerBound", 1)
-        .option("upperBound", int(hi) + 1)
-        .option("numPartitions", 4)
-        .load()
-        .filter(F.col("c_acctbal") > 1000)
     )
+    if hi is not None:  # empty dim ⇒ no key range ⇒ single-task read
+        reader = (
+            reader.option("partitionColumn", "c_custkey")
+            .option("lowerBound", 1)
+            .option("upperBound", int(hi) + 1)
+            .option("numPartitions", 4)
+        )
+    return reader.load().filter(F.col("c_acctbal") > 1000)
 
 
 @register(

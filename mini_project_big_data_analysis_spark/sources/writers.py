@@ -114,26 +114,84 @@ class KeyedTableStore:
 
 
 class ParquetBucketStore(KeyedTableStore):
-    """Bucket-partitioned parquet implementation (the testable default)."""
+    """Bucket-partitioned parquet implementation (the testable default).
+
+    Empty-table robustness: a zero-row ``initialize``/``overwrite_buckets``
+    writes a directory with no parquet files (just ``_SUCCESS``), and a
+    schema-inferring read of that directory fails with
+    ``UNABLE_TO_INFER_SCHEMA``. At 100 TB an empty-after-filter update
+    stream is routine, so every write also records the schema in a tiny
+    ``_schema.json`` sidecar — the table-format "log", reduced to the one
+    field this store needs — and reads apply it explicitly: an empty table
+    scans as an empty DataFrame instead of failing the pipeline, from ANY
+    store object (not just the one that wrote it).
+    """
+
+    _SCHEMA_FILE = "_schema.json"
 
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
         self.path = path
+        self._schema = None  # in-object cache of the sidecar
 
-    def exists(self) -> bool:
+    def _fs(self):
         jvm = self.spark.sparkContext._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(self.path)
-        fs = hpath.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
+        return jvm, hpath, hpath.getFileSystem(
+            self.spark.sparkContext._jsc.hadoopConfiguration()
+        )
+
+    def exists(self) -> bool:
+        _, hpath, fs = self._fs()
         return bool(fs.exists(hpath))
+
+    def _write_schema_sidecar(self, df: DataFrame) -> None:
+        self._schema = df.schema
+        jvm, _, fs = self._fs()
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(self.path, self._SCHEMA_FILE), True)
+        try:
+            out.write(bytearray(df.schema.json(), "utf-8"))
+        finally:
+            out.close()
+
+    def _read_schema_sidecar(self):
+        if self._schema is not None:
+            return self._schema
+        from pyspark.sql.types import StructType
+
+        jvm, _, fs = self._fs()
+        spath = jvm.org.apache.hadoop.fs.Path(self.path, self._SCHEMA_FILE)
+        if not fs.exists(spath):
+            return None
+        stream = fs.open(spath)
+        try:
+            reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+        finally:
+            stream.close()
+        import json as _json
+
+        self._schema = StructType.fromJson(_json.loads("".join(lines)))
+        return self._schema
 
     def initialize(self, bucketed: DataFrame) -> None:
         bucketed.write.partitionBy("__bucket").parquet(self.path)
+        self._write_schema_sidecar(bucketed)
+
+    def _scan(self) -> DataFrame:
+        reader = self.spark.read
+        schema = self._read_schema_sidecar()
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self.path)
 
     def read_buckets(self, bucket_ids: list[int]) -> DataFrame:
         # partition pruning: only the affected bucket directories are listed
-        return self.spark.read.parquet(self.path).filter(
-            F.col("__bucket").isin(bucket_ids)
-        )
+        return self._scan().filter(F.col("__bucket").isin(bucket_ids))
 
     def overwrite_buckets(self, merged: DataFrame) -> None:
         # Stage the merged buckets before overwriting the directory they
@@ -146,9 +204,10 @@ class ParquetBucketStore(KeyedTableStore):
             .partitionBy("__bucket")
             .parquet(self.path)
         )
+        self._write_schema_sidecar(merged)
 
     def read_all(self) -> DataFrame:
-        return self.spark.read.parquet(self.path).drop("__bucket")
+        return self._scan().drop("__bucket")
 
 
 class JdbcKeyedStore(KeyedTableStore):

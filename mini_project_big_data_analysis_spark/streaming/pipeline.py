@@ -571,12 +571,15 @@ def run_multibatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.select(
         F.percentile_approx("ts", [0.25, 0.5, 0.75], 10000).alias("q")
     ).first()["q"]
-    pieces = [
-        ev.filter(F.col("ts") < bounds[0]),
-        ev.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
-        ev.filter((F.col("ts") >= bounds[1]) & (F.col("ts") < bounds[2])),
-        ev.filter(F.col("ts") >= bounds[2]),
-    ]
+    if bounds is None:  # empty log: one (empty) batch + the sentinel
+        pieces = [ev]
+    else:
+        pieces = [
+            ev.filter(F.col("ts") < bounds[0]),
+            ev.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+            ev.filter((F.col("ts") >= bounds[1]) & (F.col("ts") < bounds[2])),
+            ev.filter(F.col("ts") >= bounds[2]),
+        ]
     sentinel = (
         spark.createDataFrame([(-1, None, -1, "sentinel", 0.0, None)], schema=ev.schema)
         .withColumn("ts", F.lit("2030-01-01 00:00:00").cast("timestamp"))
