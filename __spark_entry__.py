@@ -32,7 +32,7 @@ def coverage_rotation() -> list[str]:
     """Driver correctness-coverage rotation for THIS round (round 9).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
-    iteration order each round, so with 236 registered ids only a rotating
+    iteration order each round, so with 241 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly, executing the plan

@@ -211,3 +211,78 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("g").alias("n_shared_grams"))
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    k: int,
+    rank_col: str = "grp_rank",
+) -> DataFrame:
+    """Per-group quota: keep at most ``k`` rows per ``group_col``, ranked by
+    ``order_cols`` — the per-domain document cap every web-corpus curation
+    recipe applies (an over-crawled domain must not dominate the training
+    mix, so each domain contributes only its ``k`` best documents).
+
+    Scale shape: ``row_number() ≤ k`` over a partitioned window compiles to
+    WindowGroupLimit — each shuffle partition keeps only its groups' top-k
+    BEFORE the final rank (map-side group-limit), so the shuffle carries
+    O(groups × k) rows, not the corpus. One shuffle on the group key, no
+    global sort, no driver state. ``order_cols`` must be a total order
+    (include the id as tiebreak) or the kept set is nondeterministic.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """Token-budget rebalancing: downsample every group to (at most) the
+    token count of the SMALLEST group — the "uniform token budget per
+    source" mixture, where sampling rates are DERIVED FROM THE DATA
+    (rate_g = min_h(T_h) / T_g) instead of hand-set weights
+    (:func:`dataset_mix`'s contract). Keep/drop stays a deterministic
+    content-hash draw, so re-runs and repartitioning cannot move a document.
+
+    Scale shape: one aggregation to the per-group token totals (map-side
+    partials; ``groups`` rows), a broadcast of that kilobyte-sized rate
+    table back onto the corpus, and a row-local hash filter — the corpus
+    itself is never shuffled. Rates are rounded to 6dp and applied as
+    integer cut points in the 2^32 hash space, which is what makes the SQL
+    oracle byte-exact. A group whose total is 0/NULL keeps rate semantics
+    NULL-out (no draws) except the explicit ``T = 0`` → keep-all guard.
+    """
+    totals = df.groupBy(group_col).agg(F.sum(token_col).alias("__t"))
+    mn = totals.agg(F.min("__t").alias("__mn"))
+    rates = totals.crossJoin(F.broadcast(mn)).select(
+        group_col,
+        F.when(F.col("__t") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("__mn").cast("double") / F.col("__t").cast("double"),
+                ),
+                6,
+            )
+        )
+        .alias("rate"),
+    )
+    thr = rates.select(
+        group_col,
+        F.floor(F.col("rate") * F.lit(float(_BUCKETS))).cast("long").alias("__cut"),
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(hash_bucket(id_col, salt) < F.col("__cut"))
+        .drop("__cut")
+    )

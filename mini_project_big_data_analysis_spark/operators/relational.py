@@ -9,7 +9,7 @@ non-matching joins, pandas-compatible pivot behavior.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import datetime_fns, json_fns
@@ -415,3 +415,137 @@ def capped_self_join_pairs(
             F.when(swapped, F.col(f"__a_{c}")).otherwise(F.col(f"__b_{c}")).alias(f"b_{c}")
         )
     return pairs.select(*sel)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Exact edit-distance pair join (Levenshtein ≤ 2) over
+    (``block_cols``, length) blocks, WITHOUT quadratic candidate
+    generation and WITHOUT hot-key degeneration on low-entropy strings.
+
+    Two fixed-position schemes were measured and rejected on the customer
+    fixture before this design: contiguous thirds (PassJoin segments) and
+    frequency-ordered q-gram prefixes (SSJoin/ED-Join) both let the
+    constant "Customer#0…" region become a block-constant join key —
+    every row lands in the same bucket and the candidate join silently
+    regrows Σ block² (20M / 12M candidates for 163k true pairs at sf0.1).
+
+    This version exploits the EQUAL-LENGTH structure exactly. For equal
+    lengths, an optimal ≤2-cost edit script has i inserts = d deletes, so
+    (i,d,s) ∈ {(0,0,≤2), (1,1,0)} — every qualifying pair is either
+
+    1. **Hamming ≤ 2**: at most 2 positions differ, so of the 3
+       INTERLEAVED position classes (p mod 3) at least one is untouched —
+       candidates join on (class, chars at that class's positions).
+       Interleaving is the point: a contiguous constant prefix spreads
+       ACROSS all three keys instead of saturating one, so each key
+       carries every third character of the discriminative region too.
+    2. **One insert + one delete**: deleting one char from each side can
+       equalize them, i.e. the deletion-1 neighborhoods intersect
+       (symmetric-delete / SymSpell family, public) — candidates join on
+       the deduplicated delete-1 strings.
+
+    Both key families are generated per DISTINCT (block, length, value) —
+    exact-duplicate classes collapse to one representative first (the
+    round-7 dedup-tier rule: a D-member class costs D, not D², through
+    the join) and expand row-locally afterwards: intra-class pairs at
+    distance 0, cross-class pairs inheriting their value pair's verified
+    distance. Candidates are deduped and verified with the codegen'd
+    ``levenshtein`` kernel, so key collisions cost time, never
+    correctness; low-entropy tails (e.g. length ≤ 2, where a position
+    class is empty) degrade to small in-block verification, not failure.
+
+    Output: (a_id, b_id, dist) with a < b canonical ordering.
+    """
+    if max_dist != 2:
+        raise ValueError("key schemes above are derived for max_dist=2")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__s"),
+        F.length(text_col).alias("__len"),
+        *[F.col(c) for c in block_cols],
+    )
+    cls = base.groupBy(*block_cols, "__len", "__s").agg(
+        F.min("__id").alias("rep"),
+        F.sort_array(F.collect_list("__id")).alias("ids"),
+        F.count(F.lit(1)).alias("csize"),
+    )
+    vals = cls.select(*block_cols, "__len", "__s", "rep")
+
+    # key family 1: interleaved position classes (Hamming ≤ 2 pigeonhole)
+    ham_keys = F.array(
+        *[
+            F.struct(
+                F.lit(f"h{c}").alias("kind"),
+                F.expr(
+                    "array_join(transform(sequence("
+                    f"{c + 1}, greatest(__len, {c + 1}), 3),"
+                    " i -> substring(__s, i, 1)), '')"
+                ).alias("key"),
+            )
+            for c in range(3)
+        ]
+    )
+    # key family 2: deletion-1 neighborhood (covers the 1-ins+1-del case)
+    del_keys = F.expr(
+        "transform(array_distinct(transform(sequence(1, __len),"
+        " i -> concat(substring(__s, 1, i - 1), substring(__s, i + 1, __len)))),"
+        " k -> named_struct('kind', 'd', 'key', k))"
+    )
+    keyed = vals.select(
+        *block_cols,
+        "__len",
+        "__s",
+        "rep",
+        F.explode(F.concat(ham_keys, del_keys)).alias("k"),
+    ).select(*block_cols, "__len", "__s", "rep", "k.kind", "k.key")
+    a = keyed.select(
+        *block_cols,
+        "__len",
+        "kind",
+        "key",
+        F.col("rep").alias("a_rep"),
+        F.col("__s").alias("a_s"),
+    )
+    b = keyed.select(
+        *block_cols,
+        "__len",
+        "kind",
+        "key",
+        F.col("rep").alias("b_rep"),
+        F.col("__s").alias("b_s"),
+    )
+    val_pairs = (
+        a.join(b, [*block_cols, "__len", "kind", "key"])
+        .filter(F.col("a_rep") < F.col("b_rep"))
+        .dropDuplicates(["a_rep", "b_rep"])
+        .withColumn("dist", F.levenshtein("a_s", "b_s").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select("a_rep", "b_rep", "dist")
+    )
+    # expand: intra-class pairs are distance 0 by construction
+    intra = (
+        cls.filter(F.col("csize") >= 2)
+        .select(F.explode("ids").alias("a_id"), F.col("ids").alias("__ids"))
+        .select("a_id", F.explode("__ids").alias("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    members = cls.select("rep", "ids")
+    cross = (
+        val_pairs.join(members.withColumnsRenamed({"rep": "a_rep", "ids": "a_ids"}), "a_rep")
+        .join(members.withColumnsRenamed({"rep": "b_rep", "ids": "b_ids"}), "b_rep")
+        .select(F.explode("a_ids").alias("a_m"), "b_ids", "dist")
+        .select("a_m", F.explode("b_ids").alias("b_m"), "dist")
+        .select(
+            F.least("a_m", "b_m").alias("a_id"),
+            F.greatest("a_m", "b_m").alias("b_id"),
+            "dist",
+        )
+    )
+    return intra.unionByName(cross).select("a_id", "b_id", "dist")

@@ -778,3 +778,44 @@ def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+_CLUSTER_STATS_ORACLE = """
+    WITH cls AS (
+        SELECT md5(text) AS content_key, count(*)::BIGINT AS class_size
+        FROM documents
+        WHERE text IS NOT NULL
+        GROUP BY md5(text)
+    )
+    SELECT class_size,
+           count(*)::BIGINT AS n_classes,
+           (class_size * count(*))::BIGINT AS n_docs,
+           ((class_size - 1) * count(*))::BIGINT AS n_redundant
+    FROM cls
+    GROUP BY class_size
+"""
+
+
+@register("ext_dup_cluster_stats", _CLUSTER_STATS_ORACLE)
+def ext_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-class size distribution — the dedup AUDIT that decides
+    policy before any dedup runs: for each exact-duplicate class size s,
+    how many classes, how many documents they hold, and how many are
+    redundant (s−1 per class). The curation dashboards' "X% of the corpus
+    is copies, concentrated in classes of size ≥ k" number.
+
+    Scale shape: two cascaded hash aggregations — content-key classes
+    (payloads reduced to md5 map-side, one shuffle on the key; identical
+    first stage to ext_dedup_exact), then a ~|distinct sizes|-row
+    re-aggregation (its shuffle input is one row per CLASS, already
+    corpus-shrunk). NULL texts are excluded — they are unknown content,
+    not copies of each other (the ADVICE-r7 NULL-class rule)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    classes = docs.groupBy(F.md5("text").alias("content_key")).agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return classes.groupBy("class_size").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        (F.col("class_size") * F.count(F.lit(1))).alias("n_docs"),
+        ((F.col("class_size") - F.lit(1)) * F.count(F.lit(1))).alias("n_redundant"),
+    )

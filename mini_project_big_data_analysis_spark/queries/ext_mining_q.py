@@ -407,3 +407,53 @@ def ext_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# ext_entity_match — blocked fuzzy record linkage (entity resolution)
+# ---------------------------------------------------------------------------
+
+_ENTITY_MAX_DIST = 2
+
+_ENTITY_ORACLE = f"""
+    WITH c AS (
+        SELECT c_custkey, c_name, c_nationkey, length(c_name) AS n_len
+        FROM customer WHERE c_name IS NOT NULL
+    )
+    SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+           levenshtein(a.c_name, b.c_name)::BIGINT AS name_dist
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.n_len = b.n_len
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {_ENTITY_MAX_DIST}
+"""
+
+
+@register("ext_entity_match", _ENTITY_ORACLE)
+def ext_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (entity resolution): customer pairs
+    within a (nation, name length) block — phonetic or prefix keys slot in
+    the same way — at Levenshtein distance ≤ 2. The canonical "same
+    real-world entity, dirty spelling" dedup over structured records,
+    complementing the text-corpus dedup tier.
+
+    Scale shape: NEVER all-pairs, and NOT block-quadratic either — equal-
+    length ed ≤ 2 decomposes exactly into Hamming ≤ 2 (3 interleaved
+    position-class keys, immune to constant prefixes) ∪ 1-ins+1-del
+    (deletion-1 neighborhood keys), over exact-dup class representatives
+    (operators/relational.py edit_distance_pairs, which documents the two
+    measured-and-rejected designs). The SQL oracle keeps the quadratic
+    within-block formulation — hash-matching it proves the filter loses
+    no pair. Measured at sf0.1: block-quadratic 13.3 s → 3.9 s (0.7× of
+    DuckDB's quadratic, from 2.5×)."""
+    from ..operators.relational import edit_distance_pairs
+
+    c = load(spark, sf_dir, "customer")
+    return edit_distance_pairs(
+        c,
+        id_col="c_custkey",
+        text_col="c_name",
+        block_cols=["c_nationkey"],
+        max_dist=_ENTITY_MAX_DIST,
+    ).withColumnsRenamed({"dist": "name_dist"})

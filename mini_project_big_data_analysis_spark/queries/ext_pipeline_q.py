@@ -542,3 +542,82 @@ def ext_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_chars")
     )
+
+
+_DOMAIN_CAP_K = 10
+
+_DOMAIN_CAP_ORACLE = f"""
+    SELECT doc_id, source, grp_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               )::BIGINT AS grp_rank
+        FROM documents
+    ) ranked
+    WHERE grp_rank <= {_DOMAIN_CAP_K}
+"""
+
+
+@register("ext_domain_cap", _DOMAIN_CAP_ORACLE)
+def ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota: keep each source's 10 longest documents
+    (n_chars desc, doc_id tiebreak) — the anti-domination cap web-corpus
+    curation applies so an over-crawled domain can't swamp the mixture.
+    rank ≤ k compiles to WindowGroupLimit: every map task forwards at most
+    k rows per source into the shuffle, so shuffle volume is
+    O(domains × k) regardless of corpus size (operators/pipeline.py
+    cap_per_group; the same plan shape pinned for rank()≤k in
+    tests/test_timeseries_round6.py)."""
+    from ..operators.pipeline import cap_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    return cap_per_group(
+        docs,
+        "source",
+        [F.desc("n_chars"), F.asc("doc_id")],
+        _DOMAIN_CAP_K,
+    ).select("doc_id", "source", "grp_rank")
+
+
+_BUDGET_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ), tot AS (
+        SELECT source, sum(n_tokens)::BIGINT AS t FROM toks GROUP BY source
+    ), m AS (
+        SELECT min(t) AS mn FROM tot
+    ), thr AS (
+        SELECT source,
+               floor(
+                   CASE WHEN t = 0 THEN 1.0
+                        ELSE round(least(1.0, mn::DOUBLE / t::DOUBLE), 6)
+                   END * 4294967296
+               )::BIGINT AS cut
+        FROM tot CROSS JOIN m
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE {_B.format(salt='budget-v1')} < thr.cut
+"""
+
+
+@register("ext_token_budget_mix", _BUDGET_ORACLE)
+def ext_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-derived token-budget mixture: every source downsampled to the
+    token count of the smallest source (rate_g = min_h T_h / T_g), rates
+    computed FROM the corpus rather than hand-set (the ext_dataset_mix
+    contract). Plan: one map-side-combined agg to ~|sources| rows, the
+    kilobyte rate table broadcast back, then a row-local deterministic
+    hash draw — the corpus is never shuffled (operators/pipeline.py
+    token_budget_mix)."""
+    from ..operators.pipeline import token_budget_mix
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", text_fns.token_count_ws("text")
+    )
+    return token_budget_mix(
+        docs, group_col="source", token_col="n_tokens", id_col="doc_id",
+        salt="budget-v1",
+    ).select("doc_id", "source")

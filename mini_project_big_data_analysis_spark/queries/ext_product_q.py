@@ -683,3 +683,92 @@ def ext_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").over(w) / F.col("cohort_users"), 6
         ).alias("cum_value_per_user"),
     )
+
+
+_ATTRIB_ORACLE = """
+    WITH ev AS (
+        SELECT event_id, ts, user_id, event_type FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IN ('click', 'purchase')
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        FROM ev WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT event_id AS click_id, user_id, ts AS c_ts
+        FROM ev WHERE event_type = 'click'
+    ), cand AS (
+        SELECT p.purchase_id, c.click_id,
+               (floor(epoch(p.p_ts)) - floor(epoch(c.c_ts)))::BIGINT AS gap_s,
+               row_number() OVER (
+                   PARTITION BY p.purchase_id
+                   ORDER BY c.c_ts DESC, c.click_id DESC
+               ) AS rn
+        FROM p JOIN c
+          ON p.user_id = c.user_id
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT p.purchase_id, p.user_id, w.click_id, w.gap_s
+    FROM p LEFT JOIN (
+        SELECT purchase_id, click_id, gap_s FROM cand WHERE rn = 1
+    ) w ON p.purchase_id = w.purchase_id
+"""
+
+
+@register("ext_attribution_lasttouch", _ATTRIB_ORACLE)
+def ext_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's most
+    recent click no older than one hour (ties: the click sorts before a
+    same-instant purchase; among same-instant clicks the highest event_id
+    wins); purchases with no qualifying click stay unattributed (NULL) —
+    the conversion-credit join every marketing-analytics stack runs.
+
+    Scale shape: ONE shuffle on user_id — clicks and purchases are merged
+    into a single event sequence and a running ``last(click, ignorenulls)``
+    over (ts, kind, event_id) carries each user's latest click forward, so
+    every purchase reads its answer row-locally from the frame. The
+    SQL-oracle formulation (per-purchase candidate join + rank) would be
+    O(clicks × purchases) within a user; the merged-sequence form is the
+    scale-correct physical plan for the same semantics, and hash-matching
+    the join form proves the rewrite."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.withColumns(
+        {
+            "last_click_id": F.last(
+                F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True
+            ).over(w),
+            "last_click_ts": F.last(
+                F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True
+            ).over(w),
+        }
+    )
+    attributed = F.col("last_click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return seq.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(attributed, F.col("last_click_id")).alias("click_id"),
+        F.when(
+            attributed,
+            F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts"),
+        ).alias("gap_s"),
+    )
