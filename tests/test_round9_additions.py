@@ -235,3 +235,60 @@ def test_entity_match_blocking_and_threshold(spark, monkeypatch):
         for r in ext_mining_q.ext_entity_match(spark, "unused").collect()
     }
     assert rows == {(1, 2): 1}  # canonical order, within block, ≤ 2 only
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_pairs: property-based exactness vs brute force
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", max_size=7), min_size=2, max_size=24
+    )
+)
+def test_edit_distance_pairs_matches_brute_force(spark, texts):
+    """EXACTNESS of the sub-quadratic candidate scheme: over adversarially
+    tiny alphabets (maximal key collisions, duplicate classes, empty
+    strings, every indel/substitution mix) the operator must emit EXACTLY
+    the within-(block, length) pairs at Levenshtein ≤ 2 — a missed
+    candidate key family would silently drop pairs, which the sf0.01
+    oracle (distinct 18-char names) can't always catch."""
+    from mini_project_big_data_analysis_spark.operators.relational import (
+        edit_distance_pairs,
+    )
+
+    rows = [(i, t, i % 2) for i, t in enumerate(texts)]  # two blocks
+    df = spark.createDataFrame(rows, "rid long, s string, blk int")
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in edit_distance_pairs(
+            df, id_col="rid", text_col="s", block_cols=["blk"]
+        ).collect()
+    }
+    want = {}
+    for i, a, ba in rows:
+        for j, b, bb in rows:
+            if i < j and ba == bb and len(a) == len(b):
+                d = _lev(a, b)
+                if d <= 2:
+                    want[(i, j)] = d
+    assert got == want
