@@ -575,3 +575,72 @@ def test_stream_tumbling_agg_watermark_bounds_state_at_sf10(spark, tmp_path):
         f"windows={n_windows} emitted={n_emitted} batches={batches} "
         f"frac={peak / n_windows:.3f}"
     )
+
+
+def test_entity_match_dup_class_expansion_at_sf10(spark):
+    """The round-9 entity-resolution join at 100-deep duplicate classes:
+    sf10's customers are 100 key-shifted copies of sf0.1, so every
+    distinct name forms an exact-dup class of 100. The planted structure
+    makes the FULL ~1.7B-pair expansion checkable against the value-level
+    problem, all as Spark aggregates:
+
+    - value-level ground truth re-derives from the DISTINCT-name
+      projection (the same operator at its sf0.1-sized input);
+    - total pairs == value_pairs × 100² (cross-class member expansion)
+      + n_classes × C(100,2) (intra-class, distance 0);
+    - the intra-class pair count is exactly the distance-0 count whose
+      name digests match, and no emitted pair exceeds the distance cap.
+
+    A lost candidate key family, a broken class collapse, or a wrong
+    expansion all break the arithmetic.
+    """
+    from mini_project_big_data_analysis_spark.operators.relational import (
+        edit_distance_pairs,
+    )
+    from mini_project_big_data_analysis_spark.queries.base import load
+    from mini_project_big_data_analysis_spark.queries.ext_mining_q import (
+        ext_entity_match,
+    )
+
+    cust = load(spark, SF10_DIR, "customer")
+    classes = cust.groupBy("c_nationkey", "c_name").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    class_stats = classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("s").alias("min_s"),
+        F.max("s").alias("max_s"),
+        F.sum(F.expr("s * (s - 1) / 2")).cast("long").alias("intra_expected"),
+    ).first()
+    assert class_stats["min_s"] == class_stats["max_s"] == 100  # planted depth
+    # value-level ground truth: one representative per class
+    reps = classes.select(
+        F.xxhash64("c_nationkey", "c_name").alias("rid"), "c_name", "c_nationkey"
+    )
+    value_pairs = edit_distance_pairs(
+        reps, id_col="rid", text_col="c_name", block_cols=["c_nationkey"]
+    ).count()
+
+    out = ext_entity_match(spark, SF10_DIR)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("name_dist") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("d0"),
+        F.max("name_dist").alias("max_d"),
+    ).first()
+    expected_total = value_pairs * 100 * 100 + class_stats["intra_expected"]
+    assert agg["max_d"] <= 2
+    assert agg["total"] == expected_total
+    # distance-0 pairs = intra-class pairs + cross pairs of equal-name
+    # classes; names are UNIQUE per class here (classes key on the name),
+    # but two classes in the same nation can't share a name, so d0 is
+    # exactly the intra expansion plus 100² per distance-0 VALUE pair.
+    zero_value_pairs = (
+        edit_distance_pairs(
+            reps, id_col="rid", text_col="c_name", block_cols=["c_nationkey"]
+        )
+        .filter(F.col("dist") == 0)
+        .count()
+    )
+    assert agg["d0"] == class_stats["intra_expected"] + zero_value_pairs * 100 * 100
