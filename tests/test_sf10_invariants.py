@@ -577,6 +577,177 @@ def test_stream_tumbling_agg_watermark_bounds_state_at_sf10(spark, tmp_path):
     )
 
 
+def test_ngram_jaccard_pairs_sf10_planted_dup_invariants(spark):
+    """Class-pair completeness/constancy pin for the word-set Jaccard tier
+    (`ext_dedup_ngram`) — the id whose DuckDB twin cannot follow to sf10
+    because the PAIR OUTPUT itself explodes (C(100,2) per 100-deep class
+    plus 10^4-fold cross-class expansion; the same output-cardinality
+    class as the entity-match and band-join oracles).
+
+    Jaccard is a pure function of the (text_a, text_b) pair and the block
+    key (first 8 tokens) is a pure function of the text, so pair presence
+    and value depend only on the text-class pair: every group must be
+    complete and value-constant, identical texts must verify at jaccard
+    exactly 1.0, and — because even a zero-token text is Jaccard-1 with
+    its copies — EVERY non-NULL text class contributes exactly C(s, 2)
+    intra-class pairs."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    docs = _digested_docs(spark)
+    classes = docs.filter(F.col("text").isNotNull()).groupBy("text").count()
+    cls = classes.agg(
+        F.sum((F.col("count") * (F.col("count") - F.lit(1))) / F.lit(2))
+        .cast("long")
+        .alias("expected_j1"),
+        F.count("*").alias("n_classes"),
+    ).collect()[0]
+    assert cls.expected_j1 > 0
+
+    pairs = all_queries()["ext_dedup_ngram"].fn(spark, SF10_DIR)
+    row = _pair_group_row(docs, classes, pairs, "jaccard")
+
+    _assert_group_hygiene(row)
+    assert row.min_v >= 0.3, "pair below the jaccard threshold emitted"
+    assert row.max_v <= 1.0
+    assert row.same_v_min == 1.0 and row.same_v_max == 1.0, (
+        "identical texts must verify at jaccard exactly 1.0"
+    )
+    assert row.same_total == cls.expected_j1, (
+        f"intra-class pair completeness: got {row.same_total}, "
+        f"expected {cls.expected_j1} across {cls.n_classes} classes"
+    )
+
+
+def test_editdist_pairs_sf10_planted_dup_invariants(spark):
+    """Same pin for the Levenshtein tier (`ext_dedup_editdist`). The
+    comparison key is the (lang, source, prefix-12) triple — lang/source
+    are independent columns, NOT functions of the text — so the class
+    digest hashes the whole triple; docs with a NULL in any key column are
+    ineligible by the operator's contract (equi-join keys never match on
+    NULL) and must produce no pairs. Intra-class pairs are distance 0 by
+    definition and every eligible class must be fully expanded."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    raw = load(spark, SF10_DIR, "documents")
+    eligible = (
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    # NULL-keyed docs keep a NULL digest so the null_text_pairs hygiene
+    # check still proves they never pair.
+    docs = raw.select(
+        "doc_id",
+        F.when(
+            eligible,
+            F.md5(
+                F.concat_ws(
+                    "\x01", "lang", "source", F.substring("text", 1, 12)
+                )
+            ),
+        ).alias("text"),
+    )
+    classes = docs.filter(F.col("text").isNotNull()).groupBy("text").count()
+    cls = classes.agg(
+        F.sum((F.col("count") * (F.col("count") - F.lit(1))) / F.lit(2))
+        .cast("long")
+        .alias("expected_d0"),
+        F.count("*").alias("n_classes"),
+    ).collect()[0]
+    assert cls.expected_d0 > 0
+
+    pairs = all_queries()["ext_dedup_editdist"].fn(spark, SF10_DIR)
+    row = _pair_group_row(docs, classes, pairs, "edit_dist")
+
+    _assert_group_hygiene(row)
+    assert 0 <= row.min_v and row.max_v <= 6
+    assert row.same_v_min == 0 and row.same_v_max == 0, (
+        "identical comparison keys must verify at distance 0"
+    )
+    assert row.same_total == cls.expected_d0, (
+        f"intra-class pair completeness: got {row.same_total}, "
+        f"expected {cls.expected_d0} across {cls.n_classes} classes"
+    )
+
+
+def test_dedup_components_sf10_planted_dup_invariants(spark):
+    """Scale pin for the transitive-closure tier (`ext_dedup_components`),
+    whose recursive-CTE oracle cannot follow to sf10 (the edge set itself
+    is tens of millions of rows). Three Spark-aggregate invariants pin the
+    labeling without a closure re-implementation:
+
+    - edge consistency: EVERY near-dup edge's endpoints carry the same
+      component label (a labeling that splits any edge is wrong);
+    - min-id labeling: each component's label equals the minimum node id
+      in it, and every node's label is <= its own id;
+    - class consistency: all >=100 copies of a text share one label (an
+      intra-class edge exists for every class, so a class split across
+      components would also break edge consistency — checked directly so
+      the failure localizes)."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    comps = all_queries()["ext_dedup_components"].fn(spark, SF10_DIR)
+    comps = comps.persist()
+    try:
+        hygiene = comps.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("node").alias("n_nodes"),
+            F.sum((F.col("comp") > F.col("node")).cast("long")).alias("bad_min"),
+        ).collect()[0]
+        assert hygiene.n == hygiene.n_nodes, "one label row per node"
+        assert hygiene.bad_min == 0, "min-id labeling: comp must be <= node id"
+
+        # each component's label is the min member id (not just any member)
+        bad_label = (
+            comps.groupBy("comp")
+            .agg(F.min("node").alias("mn"))
+            .filter(F.col("comp") != F.col("mn"))
+            .count()
+        )
+        assert bad_label == 0, "component label must equal its min node id"
+
+        # edge consistency against the SAME edge set the query builds
+        from mini_project_big_data_analysis_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        from mini_project_big_data_analysis_spark.queries.base import load
+
+        docs = load(spark, SF10_DIR, "documents")
+        edges = ngram_jaccard_pairs(
+            docs, "doc_id", "text", block_words=8, threshold=0.3
+        )
+        la = comps.select(
+            F.col("node").alias("id_a"), F.col("comp").alias("ca")
+        ).hint("merge")
+        lb = comps.select(
+            F.col("node").alias("id_b"), F.col("comp").alias("cb")
+        ).hint("merge")
+        split_edges = (
+            edges.select("id_a", "id_b")
+            .join(la, "id_a")
+            .join(lb, "id_b")
+            .filter(F.col("ca") != F.col("cb"))
+            .count()
+        )
+        assert split_edges == 0, "an edge's endpoints landed in two components"
+
+        # class consistency: every text class fully inside one component
+        digested = _digested_docs(spark).filter(F.col("text").isNotNull())
+        class_split = (
+            digested.join(
+                comps.select(F.col("node").alias("doc_id"), "comp"), "doc_id"
+            )
+            .groupBy("text")
+            .agg(F.count_distinct("comp").alias("nc"))
+            .filter(F.col("nc") != 1)
+            .count()
+        )
+        assert class_split == 0, "a 100-copy text class split across components"
+    finally:
+        comps.unpersist()
+
+
 def test_entity_match_dup_class_expansion_at_sf10(spark):
     """The round-9 entity-resolution join at 100-deep duplicate classes:
     sf10's customers are 100 key-shifted copies of sf0.1, so every

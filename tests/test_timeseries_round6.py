@@ -1123,3 +1123,63 @@ def test_keep_best_prefers_longest_copy(spark, sf_dir):
     want = {min(sorted(g, key=lambda t: (-t[0], t[1]))[:1])[1] for g in groups.values()}
     got = {r.doc_id for r in REGISTRY["ext_dedup_keep_best"].fn(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_rolling_corr_constant_frame_is_exact_null(spark, tmp_path):
+    """A 24-row frame whose series is exactly constant has TRUE sample
+    variance 0, so the guarded covar/(sx*sy) spelling must yield NULL —
+    bit-exact zero in, NULL out, never a noise ratio. This pins, on the
+    Spark side, the failure mode the sf10 differential run exposed in the
+    ORACLE: DuckDB's sliding segment-tree stddev returns ~1.5e-15 on a
+    100-deep constant run (insert/evict rounding residue survives the
+    incremental update), and covar/(sd*sd) then divides two correlated
+    noise terms into a plausible-looking +/-0.97 "correlation". Spark's
+    WindowExec recomputes every bounded frame from scratch, lands exact
+    zeros, and nullif converts them to NULL. 100-deep constant runs are
+    exactly what a dup-heavy corpus looks like after key-preserving
+    replication, so NULL-not-noise is the scale-correct contract
+    (classified in SCALING.md, round-9 sf10 oracle extension)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = datetime.datetime(2024, 1, 1)
+    n_const, n_var = 100, 60
+    rows = []
+    for i in range(n_const + n_var):
+        value = 5.0 if i < n_const else float((i * 37) % 101)
+        rows.append(
+            (i, t0 + datetime.timedelta(seconds=i), i, "a", value, "{}")
+        )
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    out = {
+        r.ts_s: r.roll_corr
+        for r in REGISTRY["window_rolling_corr"].fn(spark, str(tmp_path)).collect()
+    }
+    # full-frame filter keeps rows 24..: every frame inside the constant
+    # run (rows 24..99, and row 100 whose prev-series is still constant)
+    # must be NULL, not a tiny-noise ratio
+    for i in range(24, n_const + 1):
+        ts_s = (t0 + datetime.timedelta(seconds=i)).strftime("%Y-%m-%d %H:%M:%S")
+        assert out[ts_s] is None, f"row {i}: expected NULL, got {out[ts_s]}"
+    # and frames fully inside the varying tail are real correlations
+    tail = [
+        out[(t0 + datetime.timedelta(seconds=i)).strftime("%Y-%m-%d %H:%M:%S")]
+        for i in range(n_const + 25, n_const + n_var)
+    ]
+    assert any(v is not None for v in tail)
+    for v in tail:
+        if v is not None:
+            assert -1.0 - 1e-9 <= v <= 1.0 + 1e-9
