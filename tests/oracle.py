@@ -55,7 +55,49 @@ def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
 _ARROW_UNSAFE_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "UBIGINT", "DECIMAL")
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+def _blunt_key(row: tuple) -> tuple:
+    """Sort key that ignores sub-milli float noise so an eps-compare can
+    re-align rows whose 6dp rounding flipped direction across engines."""
+    return tuple(
+        (v is None, str(type(v)), round(v, 3) if isinstance(v, float) else str(v))
+        for v in row
+    )
+
+
+def _eps_equal(cs: list[tuple], cd: list[tuple], eps: float) -> bool:
+    """Pairwise compare after re-sorting on noise-blunted keys: floats
+    match within eps RELATIVE tolerance floored at eps absolute
+    (|a-b| <= eps * max(1, |a|, |b|)), everything else exactly. Relative,
+    because the knife-edge class spans magnitudes: a 6dp-rounded mean at
+    ~50 flips by 1e-6 absolute, while a 5e8-magnitude float sum carries
+    ~1e-13 RELATIVE ulp noise that is 7e-5 absolute. Used ONLY as an
+    explicit fallback (never by the driver-shaped hash compare) to
+    measure whether a hash mismatch is a rounding knife-edge or a
+    semantic diff."""
+    a = sorted(cs, key=_blunt_key)
+    b = sorted(cd, key=_blunt_key)
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return False
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                # the max(1, ...) floor keeps small values on an absolute
+                # eps; the 1e-12 addend absorbs binary-representation
+                # overshoot (float(1e-6) ~ 1.00000000028e-6)
+                tol = eps * max(1.0, abs(va), abs(vb)) + 1e-12
+                if not (abs(va - vb) <= tol):
+                    return False
+            elif va != vb:
+                return False
+    return True
+
+
+def compare(
+    spark_df,
+    con: duckdb.DuckDBPyConnection,
+    sql: str,
+    eps: float | None = None,
+) -> tuple[bool, str]:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
@@ -81,6 +123,8 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
         return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
     cs, cd = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
     if cs != cd:
+        if eps is not None and _eps_equal(cs, cd, eps):
+            return True, f"ok within eps={eps} ({len(s_rows)} rows)"
         diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:5]
         return False, f"value mismatch; first diffs (spark, duck): {diffs}"
     return True, f"ok ({len(s_rows)} rows)"
