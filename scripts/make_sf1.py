@@ -93,19 +93,26 @@ def main() -> int:
             pq.write_table(t, os.path.join(out, f"{name}.parquet"))
             print(f"{name}: {t.num_rows} rows (dim, unshifted)")
             continue
-        parts = []
-        for i in range(copies):
-            shifted = t
-            for k in keys:
-                off = i * strides[FAMILY[k]]
-                col = pc.add(shifted[k], pa.scalar(off, type=shifted.schema.field(k).type))
-                shifted = shifted.set_column(
-                    shifted.schema.get_field_index(k), shifted.schema.field(k), col
-                )
-            parts.append(shifted)
-        big = pa.concat_tables(parts)
-        pq.write_table(big, os.path.join(out, f"{name}.parquet"))
-        print(f"{name}: {t.num_rows} -> {big.num_rows} rows")
+        # stream one shifted copy per row group: memory stays O(one copy)
+        # regardless of `copies` (copies=1000 would need ~90 GB if
+        # concatenated), and readers parallelize over row groups anyway.
+        with pq.ParquetWriter(
+            os.path.join(out, f"{name}.parquet"), t.schema
+        ) as writer:
+            for i in range(copies):
+                shifted = t
+                for k in keys:
+                    off = i * strides[FAMILY[k]]
+                    col = pc.add(
+                        shifted[k], pa.scalar(off, type=shifted.schema.field(k).type)
+                    )
+                    shifted = shifted.set_column(
+                        shifted.schema.get_field_index(k),
+                        shifted.schema.field(k),
+                        col,
+                    )
+                writer.write_table(shifted)
+        print(f"{name}: {t.num_rows} -> {t.num_rows * copies} rows")
     print(f"wrote {out}")
     return 0
 

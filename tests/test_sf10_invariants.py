@@ -49,6 +49,33 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.fixture(scope="module")
+def spark():
+    """Shadow the shared local[2]/2g conftest session for THIS module: the
+    sf10 pins materialize ~25M-pair graphs (the components labeling OOMs a
+    2g driver in hash aggregation), so the documented standalone run gets a
+    session sized for the fixture. If a session already exists (full-suite
+    run with the env set), reuse it untouched — stopping the conftest
+    session would break every later test that holds it."""
+    from pyspark.sql import SparkSession
+
+    from mini_project_big_data_analysis_spark.session import get_spark
+
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        yield existing
+        return
+    s = get_spark(
+        app_name="mpbda-sf10-invariants",
+        master="local[8]",
+        shuffle_partitions=16,
+        extra_conf={"spark.driver.memory": "20g"},
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
 def _digested_docs(spark):
     """(doc_id, text=md5 digest): carry a 32-byte digest, not the text —
     the pair-side joins touch ~25M rows, and equal digest <=> equal text
@@ -815,3 +842,279 @@ def test_entity_match_dup_class_expansion_at_sf10(spark):
         .count()
     )
     assert agg["d0"] == class_stats["intra_expected"] + zero_value_pairs * 100 * 100
+
+
+def test_span_dedup_sf10_degenerate_closed_form(spark):
+    """`ext_span_dedup` at sf10 admits an EXACT closed-form oracle: the
+    100-deep replication makes every 8-token gram corpus-hot (each gram's
+    weighted occurrence count is >= its class depth >= 100 >= 2), so every
+    eligible doc's marked intervals merge into ONE island covering the
+    whole token span — per doc with n >= 8 tokens, exactly one row
+    (cut_start=0, cut_end=n-1, span_tokens=n, n_grams=n-7), and docs
+    under 8 tokens produce nothing. The full 100x-expanded output is
+    compared row-exactly against that derivation (same tokenizer
+    expression as the operator), which checks the class collapse, the
+    weighted hot threshold, the gap-islands merge, and the member
+    expansion in one shot. The DuckDB twin at sf10 is a ~200M-row gram
+    CTE into a quadratic join — the oracle, not the operator, is what
+    cannot follow."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    docs = load(spark, SF10_DIR, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    expected = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", n_tok.alias("n"))
+        .filter(F.col("n") >= 8)
+        .select(
+            "doc_id",
+            F.lit(0).cast("long").alias("cut_start"),
+            (F.col("n") - 1).cast("long").alias("cut_end"),
+            F.col("n").cast("long").alias("span_tokens"),
+            (F.col("n") - 7).cast("long").alias("n_grams"),
+        )
+    )
+    out = all_queries()["ext_span_dedup"].fn(spark, SF10_DIR)
+    out = out.select(
+        "doc_id",
+        F.col("cut_start").cast("long"),
+        F.col("cut_end").cast("long"),
+        F.col("span_tokens").cast("long"),
+        F.col("n_grams").cast("long"),
+    )
+    n_exp = expected.count()
+    assert n_exp > 0
+    assert out.count() == n_exp
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
+
+
+def test_containment_sf10_df_cap_is_semantics_not_a_gap(spark):
+    """`ext_dedup_containment` at sf10 MUST emit zero pairs, and that is
+    the operator's documented boilerplate-cap semantics doing its job,
+    not a blind spot: every 5-token gram of every doc recurs in all
+    >= 100 copies of its class, so every gram's document frequency is
+    >= the class depth > _CONT_MAX_DF (20) and the rare-gram index is
+    empty by construction — on BOTH engine sides (the oracle's HAVING
+    count(*) <= 20 drops the same grams). The planted-depth and df
+    arithmetic are asserted from the data so the empty output is proven
+    forced, not vacuous; threshold behavior at real df profiles is
+    oracle-checked at sf0.01/sf0.1/sf1."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+    from mini_project_big_data_analysis_spark.queries.base import load
+    from mini_project_big_data_analysis_spark.queries.ext_dedup_q import (
+        _CONT_MAX_DF,
+    )
+
+    docs = load(spark, SF10_DIR, "documents")
+    min_depth = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy("text")
+        .count()
+        .agg(F.min("count"))
+        .collect()[0][0]
+    )
+    assert min_depth >= 100, "fixture is not the 100-deep-copy profile"
+    assert min_depth > _CONT_MAX_DF, "cap must be below the planted depth"
+    assert all_queries()["ext_dedup_containment"].fn(spark, SF10_DIR).count() == 0
+
+
+def test_components_sf10_collapse_invariance(spark):
+    """`ext_dedup_components` at sf10: the component labeling must be
+    exactly the VALUE-level labeling expanded through the dup classes.
+    Jaccard and the prefix block key are pure functions of the text, so
+    the sf10 edge set is the value-level edge set expanded + intra-class
+    cliques; therefore (a) every non-NULL text class appears in full and
+    lands in ONE component, and (b) that component label equals the label
+    from running the SAME operator on the distinct-text projection
+    (id = class min doc_id) — isolated classes label as their own min.
+    The DuckDB recursive-CTE oracle on the ~25M-edge sf10 graph is the
+    infeasible side; the distinct-projection differential is the exact
+    replacement."""
+    from mini_project_big_data_analysis_spark.operators.components import (
+        connected_components,
+    )
+    from mini_project_big_data_analysis_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from mini_project_big_data_analysis_spark.queries import all_queries
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    docs = _digested_docs(spark)
+    sizes = docs.filter(F.col("text").isNotNull()).groupBy("text").agg(
+        F.count(F.lit(1)).alias("s"), F.min("doc_id").alias("min_id")
+    )
+    total_docs = sizes.agg(F.sum("s")).collect()[0][0]
+
+    out = all_queries()["ext_dedup_components"].fn(spark, SF10_DIR)
+    per_class = (
+        out.join(
+            docs.select(F.col("doc_id").alias("node"), "text").hint("merge"),
+            "node",
+        )
+        .groupBy("text")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.count_distinct("comp").alias("n_comps"),
+            F.min("comp").alias("comp"),
+        )
+        .join(sizes, "text")
+    )
+    bad = per_class.agg(
+        F.sum((F.col("n_nodes") != F.col("s")).cast("long")).alias("incomplete"),
+        F.sum((F.col("n_comps") != 1).cast("long")).alias("split"),
+        F.sum("n_nodes").alias("nodes_total"),
+    ).collect()[0]
+    assert bad.incomplete == 0, "a class is missing members from the labeling"
+    assert bad.split == 0, "a class fractured across components"
+    assert bad.nodes_total == total_docs, "labeling must cover every non-NULL doc"
+
+    raw = load(spark, SF10_DIR, "documents").filter(F.col("text").isNotNull())
+    distinct_docs = raw.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    comp_v = connected_components(
+        ngram_jaccard_pairs(
+            distinct_docs, "doc_id", "text", block_words=8, threshold=0.3
+        ),
+        "id_a",
+        "id_b",
+    ).select(F.col("node").alias("min_id"), F.col("comp").alias("v_comp"))
+    mismatches = (
+        per_class.join(comp_v, "min_id", "left")
+        .filter(F.col("comp") != F.coalesce("v_comp", "min_id"))
+        .count()
+    )
+    assert mismatches == 0, "sf10 labels diverge from the value-level labeling"
+
+
+def test_semdedup_sf10_collapse_invariance(spark):
+    """`ext_semdedup` at sf10: survivors must be EXACTLY the survivors of
+    the value-level problem. Identical vectors are pairwise cosine-1, so
+    every 100-deep class is a clique inside one component and the
+    component minimum — the survivor — is the min over its classes' min
+    ids, i.e. precisely the id the distinct-(label, vector) projection
+    (id = class min vec_id) carries. Running the SAME operator on that
+    projection and demanding survivor-set equality checks the class
+    collapse, the rep-graph components, and the drop assembly end-to-end
+    at 100x scale; the recursive-CTE oracle at 200k nodes is the
+    infeasible side. Preconditions (no zero-norm/NULL vectors, planted
+    depth) are asserted from the data — zero-norm classes would
+    legitimately survive whole and break set equality by design."""
+    from mini_project_big_data_analysis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from mini_project_big_data_analysis_spark.queries import all_queries
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    emb = load(spark, SF10_DIR, "embeddings")
+    sq = F.aggregate(
+        "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    assert emb.filter(F.col("embedding").isNull() | (sq <= 0)).count() == 0
+
+    classes = emb.groupBy(
+        "label", F.md5(F.to_json(F.struct("embedding"))).alias("ck")
+    ).agg(
+        F.count(F.lit(1)).alias("s"),
+        F.min("vec_id").alias("vec_id"),
+        F.first("embedding").alias("embedding"),
+    )
+    depth = classes.agg(F.min("s"), F.count(F.lit(1))).collect()[0]
+    assert depth[0] >= 100, "fixture is not the 100-deep-copy profile"
+
+    value_out = semantic_dedup(
+        classes.select("vec_id", "label", "embedding"),
+        threshold=0.3,
+        block_col="label",
+    ).select("vec_id")
+    out = all_queries()["ext_semdedup"].fn(spark, SF10_DIR).select("vec_id")
+    n_out, n_value = out.count(), value_out.count()
+    assert n_out == n_value
+    assert out.exceptAll(value_out).count() == 0
+    assert value_out.exceptAll(out).count() == 0
+    # the planted dups guarantee real drops: survivors < classes <= corpus
+    assert n_out <= depth[1] < emb.count()
+
+
+def test_emb_neardup_sf10_class_expansion_arithmetic(spark):
+    """`ext_emb_neardup` at sf10, pinned the entity-match way: cosine and
+    the label block are pure functions of the (vector, label) pair, so
+    the full pair expansion is checkable arithmetically against the
+    value-level problem (the same operator over one rep per distinct
+    (label, vector) class):
+
+    - total pairs == sum over classes C(s,2)   [intra: cosine exactly 1]
+                   + sum over value pairs s_a*s_b  [cross expansion];
+    - pairs at rounded cosine 1.0 == the intra total plus the expansion
+      of value pairs that themselves verify at 1.0;
+    - pairs are unique, canonical (id_a < id_b), and >= the threshold.
+
+    A lost triangle task, a broken block partition, or a wrong rounding
+    boundary all break the arithmetic. The DuckDB twin is a ~2 x 10^9-row
+    within-label quadratic join at this scale — the classified
+    oracle-capacity gap, same category as the band join."""
+    from mini_project_big_data_analysis_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from mini_project_big_data_analysis_spark.queries import all_queries
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    emb = load(spark, SF10_DIR, "embeddings")
+    classes = emb.groupBy(
+        "label", F.md5(F.to_json(F.struct("embedding"))).alias("ck")
+    ).agg(
+        F.count(F.lit(1)).alias("s"),
+        F.min("vec_id").alias("vec_id"),
+        F.first("embedding").alias("embedding"),
+    )
+    cls = classes.agg(
+        F.sum(F.expr("s * (s - 1) / 2")).cast("long").alias("intra"),
+        F.min("s").alias("min_s"),
+    ).collect()[0]
+    assert cls.min_s >= 100, "fixture is not the 100-deep-copy profile"
+
+    sizes = classes.select("vec_id", "s")
+    value_pairs = embedding_near_dup_pairs(
+        classes.select("vec_id", "label", "embedding"),
+        threshold=0.3,
+        block_col="label",
+    )
+    vp = (
+        value_pairs.join(
+            F.broadcast(sizes.select(F.col("vec_id").alias("id_a"), F.col("s").alias("sa"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("vec_id").alias("id_b"), F.col("s").alias("sb"))),
+            "id_b",
+        )
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).cast("long").alias("cross"),
+            F.sum(
+                F.when(F.col("cosine_sim") == 1.0, F.col("sa") * F.col("sb"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("cross_exact1"),
+        )
+        .collect()[0]
+    )
+
+    out = all_queries()["ext_emb_neardup"].fn(spark, SF10_DIR)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_distinct("id_a", "id_b").alias("nd"),
+        F.min("cosine_sim").alias("min_v"),
+        F.max("cosine_sim").alias("max_v"),
+        F.sum((F.col("id_a") >= F.col("id_b")).cast("long")).alias("bad_order"),
+        F.sum((F.col("cosine_sim") == 1.0).cast("long")).alias("exact1"),
+    ).collect()[0]
+    assert agg.bad_order == 0
+    assert agg.nd == agg.total, "duplicate pairs emitted"
+    assert agg.min_v >= 0.3 and agg.max_v <= 1.0
+    expected_total = cls.intra + (vp.cross or 0)
+    assert agg.total == expected_total, (
+        f"pair expansion: got {agg.total}, expected {expected_total} "
+        f"(intra {cls.intra} + cross {vp.cross})"
+    )
+    assert agg.exact1 == cls.intra + (vp.cross_exact1 or 0)
