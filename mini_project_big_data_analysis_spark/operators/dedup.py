@@ -207,7 +207,11 @@ def minhash_lsh_pairs(
         .select(
             F.element_at("__ids", 1).alias(id_col), text_col, "__ids"
         )
-        .persist()
+        # Eager localCheckpoint, not persist: the class table is tiny
+        # (1 row per distinct text) and three downstream branches read it;
+        # checkpointing materializes it once and truncates lineage, and the
+        # 60s periodicGC reclaims the blocks when the plan is dropped.
+        .localCheckpoint(eager=True)
     )
     df = groups.select(id_col, text_col)
     # Hashing cost is ~num_hashes × shingles per doc, far above scan cost —
@@ -299,9 +303,15 @@ def minhash_lsh_pairs(
     )
     if jaccard_threshold > 1.0:  # degenerate but keep the contract exact
         intra = intra.filter(F.lit(False))
-    out = intra.unionByName(cross).localCheckpoint(eager=True)
-    groups.unpersist()
-    return out
+    # Return the expansion LAZY. Everything expensive is already
+    # materialized rep-level (verified pairs are eagerly checkpointed in
+    # _verify_jaccard; the class table above) — the class→member expansion
+    # is a pure streaming explode over those small inputs. Checkpointing it
+    # here (the pre-round-9 form) materialized the full pair set, which at
+    # 1000-deep dup classes is O(classes × D²) rows — measured: 25 BILLION
+    # pairs / ~750 GB at the sf100 fixture, an OOM by construction — while
+    # the lazy plan streams them through whatever sink consumes the result.
+    return intra.unionByName(cross)
 
 
 def _verify_jaccard(
