@@ -225,3 +225,23 @@ def test_null_text_classes_produce_no_pairs(spark):
         docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
         out = all_queries()["ext_dedup_editdist"].fn(spark, d).collect()
         assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+def test_minhash_expansion_stays_lazy_in_the_returned_plan(spark):
+    """Scale contract pinned after the sf100 OOM: minhash_lsh_pairs must
+    return the class->member pair expansion LAZY — rep-level results are
+    materialized inside (eager checkpoints of the verified rep pairs and
+    the class table), but the expansion itself is O(classes x D^2) rows
+    at D-deep dup classes (25 BILLION at the sf100 fixture) and must
+    stream through whatever sink consumes it. A re-added materialization
+    of the union (the pre-round-9 form) replaces the plan's Generate
+    (posexplode/explode) nodes with a bare scan of checkpointed rows."""
+    out = dedup.minhash_lsh_pairs(
+        _docs(spark), "doc_id", "text", num_hashes=32, bands=16,
+        jaccard_threshold=0.5,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" in plan, (
+        "pair expansion was materialized — the returned plan must keep the "
+        "explode lazy:\n" + plan
+    )
