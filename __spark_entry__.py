@@ -29,79 +29,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def coverage_rotation() -> list[str]:
-    """Driver correctness-coverage rotation for THIS round (round 9).
+    """Driver correctness-coverage rotation for THIS round (round 10).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
     iteration order each round, so with 241 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly, executing the plan
-    pre-written in COVERAGE_ROTATION.md at the end of round 8. After round 8
-    every oracle-bearing id has at least one driver row, so the window is
-    now pure stalest-first:
+    pre-written in COVERAGE_ROTATION.md at the end of round 9:
 
-    1. The 32 remaining round-4-stale ids (last driver row round 4 — the
+    1. The 5 round-9 debuts (registered after the round-9 window executed;
+       standing policy puts never-driver-checked ids at the head).
+    2. The 32 remaining round-5-stale ids (last driver row round 5 — the
        oldest stale set).
-    2. The alphabetically-first 18 round-5-stale ids.
+    3. The alphabetically-first 13 round-6-stale ids.
 
-    See COVERAGE_ROTATION.md's round-10 plan for the pre-written next
-    window (the remaining 32 round-5 ids + the first 18 round-6 ids).
+    See COVERAGE_ROTATION.md's round-11 plan for the pre-written next
+    window (the 5 displaced round-6 ids + the remaining 32 round-6 ids +
+    the first 13 round-7 ids).
     """
-    round4_stalest = [
-        "ext_semdedup",
-        "ext_tfidf_topterms",
-        "filt_empty_guard",
-        "filt_isin",
-        "filt_not_null",
-        "filt_ts_range",
-        "flagship_region_hourly_stats",
-        "fn_array_first_field",
-        "fn_cast_round",
-        "fn_dim_lookup",
-        "fn_epoch_to_ts",
-        "fn_json_parse_polymorphic",
-        "fn_map_wordcounts",
-        "fn_string_strip",
-        "fn_try_cast",
-        "fn_ts_add_offset",
-        "fn_ts_format",
-        "fn_ts_parse",
-        "fn_url_extract",
-        "join_broadcast_dim",
-        "join_dpp_partitioned",
-        "join_inner_equi",
-        "join_left_anti",
-        "sql_tpch_q10",
-        "sql_tpch_q18",
-        "sql_tpch_q21",
-        "src_text_roundtrip",
-        "stream_dedup",
-        "stream_fanout_sinks",
-        "stream_static_enrich",
-        "window_cume_dist",
-        "window_range_frame",
+    round9_debuts = [
+        "ext_attribution_lasttouch",
+        "ext_domain_cap",
+        "ext_dup_cluster_stats",
+        "ext_entity_match",
+        "ext_token_budget_mix",
     ]
     round5_stalest = [
-        "agg_cached_dashboard",
-        "agg_udaf_geomean",
-        "ext_bm25_search",
-        "ext_cdc_merge",
-        "ext_dedup_url",
-        "ext_doc_chunk",
-        "ext_paragraph_dedup",
-        "ext_repetition_stats",
-        "ext_scd2_dim",
-        "ext_split_leakage",
-        "ext_unigram_logprob",
-        "join_left_semi",
-        "join_outer",
-        "limit_head",
-        "proj_nested_extract",
-        "proj_rename",
-        "proj_select_cols",
-        "proj_unpivot",
+        "setop_intersect",
+        "setop_union_all",
+        "snk_append_write",
+        "snk_compact_small_files",
+        "snk_json_roundtrip",
+        "snk_partitioned_write",
+        "snk_time_travel",
+        "sort_order_by",
+        "sql_tpch_q2",
+        "sql_tpch_q4",
+        "sql_tpch_q7",
+        "sql_tpch_q8",
+        "sql_tpch_q9",
+        "sql_tpch_q11",
+        "sql_tpch_q12",
+        "sql_tpch_q13",
+        "sql_tpch_q14",
+        "sql_tpch_q15",
+        "sql_tpch_q16",
+        "sql_tpch_q17",
+        "sql_tpch_q19",
+        "sql_tpch_q20",
+        "sql_tpch_q22",
+        "src_json_corrupt",
+        "src_json_scan",
+        "src_orc_roundtrip",
+        "src_parquet_scan",
+        "src_python_datasource",
+        "src_table_scan",
+        "stream_multibatch_agg",
+        "stream_stream_join",
+        "window_gap_islands",
     ]
-    return round4_stalest + round5_stalest
+    round6_stalest = [
+        "agg_cube",
+        "agg_quartiles_exact",
+        "agg_rollup",
+        "agg_session_window",
+        "agg_sliding_window",
+        "ext_ab_zscore",
+        "ext_data_quality",
+        "ext_dataset_mix",
+        "ext_decontaminate",
+        "ext_dedup_fuzzy",
+        "ext_doc_len_histogram",
+        "ext_doc_winnow",
+        "ext_domain_stats",
+    ]
+    return round9_debuts + round5_stalest + round6_stalest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
