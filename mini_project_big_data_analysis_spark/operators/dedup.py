@@ -181,6 +181,14 @@ def minhash_lsh_pairs(
     (still 1 row per doc-band); the bucket self-join only pairs docs sharing
     a band hash, so the shuffle is on (band, band_hash) — never O(n²).
     Exact-Jaccard verification joins shingle sets only for candidate pairs.
+
+    Memory note (ADVICE r9): the class table below is ``localCheckpoint``-ed
+    and its blocks are reclaimed by the ContextCleaner only when a JVM GC
+    runs. This repo's ``get_spark`` sets ``spark.cleaner.periodicGC.interval``
+    to 60s for that reason; under an EXTERNAL driver session the 30-minute
+    default lets checkpoint blocks accumulate across repeated calls — set
+    the interval at session build time (it is not runtime-mutable) for
+    call-in-a-loop workloads.
     """
     rows_per_band = num_hashes // bands
     spark = df.sparkSession

@@ -132,7 +132,12 @@ class ParquetBucketStore(KeyedTableStore):
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
         self.path = path
-        self._schema = None  # in-object cache of the sidecar
+        # In-object cache of the sidecar, keyed by its mtime: a SECOND store
+        # object pointed at the same path may overwrite_buckets with an
+        # evolved schema, and an mtime-less cache would keep serving the
+        # stale one forever (ADVICE r9).
+        self._schema = None
+        self._schema_mtime = None
 
     def _fs(self):
         jvm = self.spark.sparkContext._jvm
@@ -146,23 +151,44 @@ class ParquetBucketStore(KeyedTableStore):
         return bool(fs.exists(hpath))
 
     def _write_schema_sidecar(self, df: DataFrame) -> None:
-        self._schema = df.schema
+        # Stage-and-rename: a reader must never observe a partial sidecar.
+        # Rename is atomic on HDFS and on the local FS within a directory;
+        # the delete-before-rename (local FS refuses rename-onto-existing)
+        # leaves a window of MISSING sidecar that is microseconds, vs the
+        # whole parquet job if the sidecar were simply written last
+        # (ADVICE r9).
         jvm, _, fs = self._fs()
-        out = fs.create(jvm.org.apache.hadoop.fs.Path(self.path, self._SCHEMA_FILE), True)
+        spath = jvm.org.apache.hadoop.fs.Path(self.path, self._SCHEMA_FILE)
+        tmp = jvm.org.apache.hadoop.fs.Path(self.path, self._SCHEMA_FILE + ".tmp")
+        out = fs.create(tmp, True)
         try:
             out.write(bytearray(df.schema.json(), "utf-8"))
         finally:
             out.close()
+        if fs.exists(spath):
+            fs.delete(spath, False)
+        fs.rename(tmp, spath)
+        self._schema = df.schema
+        self._schema_mtime = self._sidecar_stamp(fs, spath)
+
+    @staticmethod
+    def _sidecar_stamp(fs, spath):
+        # (mtime, length): mtime alone has millisecond granularity — two
+        # evolutions inside one tick would alias; the length breaks the tie
+        # for any realistic schema change.
+        st = fs.getFileStatus(spath)
+        return (st.getModificationTime(), st.getLen())
 
     def _read_schema_sidecar(self):
-        if self._schema is not None:
-            return self._schema
         from pyspark.sql.types import StructType
 
         jvm, _, fs = self._fs()
         spath = jvm.org.apache.hadoop.fs.Path(self.path, self._SCHEMA_FILE)
         if not fs.exists(spath):
-            return None
+            return self._schema  # pre-sidecar table written by an old layout
+        mtime = self._sidecar_stamp(fs, spath)
+        if self._schema is not None and mtime == self._schema_mtime:
+            return self._schema
         stream = fs.open(spath)
         try:
             reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
@@ -176,6 +202,7 @@ class ParquetBucketStore(KeyedTableStore):
         import json as _json
 
         self._schema = StructType.fromJson(_json.loads("".join(lines)))
+        self._schema_mtime = mtime
         return self._schema
 
     def initialize(self, bucketed: DataFrame) -> None:
@@ -198,13 +225,21 @@ class ParquetBucketStore(KeyedTableStore):
         # were read from (Spark refuses an in-place read+overwrite; a
         # transactional table format stages via its log — this models that).
         merged = merged.localCheckpoint(eager=True)
+        # Sidecar FIRST: dynamic partitionOverwriteMode replaces only the
+        # touched __bucket directories and never deletes root files, so
+        # writing the (possibly evolved) schema before the data commit means
+        # there is no window where the table is sidecar-less — a crash
+        # mid-write leaves the new schema over partially-old data, which
+        # still scans (parquet fills absent columns with NULL). Writing it
+        # AFTER left a data-committed/old-schema window as long as the
+        # parquet job (ADVICE r9).
+        self._write_schema_sidecar(merged)
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__bucket")
             .parquet(self.path)
         )
-        self._write_schema_sidecar(merged)
 
     def read_all(self) -> DataFrame:
         return self._scan().drop("__bucket")
@@ -455,6 +490,22 @@ class DocumentKeyedStore(KeyedTableStore):
         # it to string (the JSON-superset default) instead of failing —
         # callers with a known contract pass schema= explicitly.
         all_none = {k for k in keys if all(d.get(k) is None for d in sample)}
+        if all_none:
+            # Name the widened fields NOW: if later documents carry
+            # non-string values for one of these, the scan fails far from
+            # this inference — the warning is the breadcrumb back to the
+            # cause, and schema= is the fix (ADVICE r9).
+            import warnings
+
+            warnings.warn(
+                "DocumentKeyedStore schema inference: field(s) "
+                f"{sorted(all_none)} were NULL across the whole "
+                f"{len(sample)}-document sample and were widened to string; "
+                "if the collection holds non-string values for them, reads "
+                "will fail at scan time — pass schema= to the constructor "
+                "for collections with sparse fields",
+                stacklevel=2,
+            )
         typed = [k for k in keys if k not in all_none]
         typemap: dict[str, T.DataType] = {}
         if typed:

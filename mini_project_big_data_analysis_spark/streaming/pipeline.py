@@ -351,6 +351,18 @@ def run_stream_dedup_availablenow(
     = the full 10M-key domain at sf10 under paced delivery; the
     within-watermark form pegs it at keys-per-horizon —
     tests/test_sf10_invariants.py).
+
+    PRECONDITION — max tolerated event-time skew (ADVICE r9): eviction cuts
+    both ways. ``dropDuplicatesWithinWatermark`` drops a FIRST delivery as
+    late data if its event time lags more than the watermark delay (1 hour
+    here) behind the max event time already observed, losing the key from
+    the sink entirely — plain ``dropDuplicates`` only ever lost STATE, never
+    data. So the delay must be ≥ the source's worst out-of-order skew
+    WITHIN a delivery, not just the replay window between deliveries. This
+    harness satisfies it by construction (both deliveries land in one
+    micro-batch, so the watermark never advances between them), and the
+    oracle enforces it: the sink must hash-equal the batch-cleaned
+    single-delivery table, so a silently dropped key fails the compare.
     """
     import shutil
 

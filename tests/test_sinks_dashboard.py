@@ -487,3 +487,97 @@ def test_snapshot_crash_invisibility(spark, sf_dir, tmp_path):
     except KeyError:
         raised = True
     assert raised
+
+
+def test_parquet_sidecar_schema_evolution_visible_across_store_instances(
+    spark, tmp_path
+):
+    """ADVICE r9: the sidecar schema cache must invalidate when ANOTHER
+    store object evolves the table — an mtime-less in-object cache kept
+    serving the pre-evolution schema forever, silently dropping the new
+    column from every read through the stale instance."""
+    from mini_project_big_data_analysis_spark.sources.writers import (
+        ParquetBucketStore,
+    )
+
+    path = str(tmp_path / "evolving")
+    writer = ParquetBucketStore(spark, path)
+    v1 = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "k long, s string, __bucket int"
+    )
+    writer.initialize(v1)
+
+    # a SECOND instance over the same path reads (and caches) the v1 schema
+    reader = ParquetBucketStore(spark, path)
+    assert set(reader.read_all().columns) == {"k", "s"}
+
+    # a third instance evolves the schema via overwrite_buckets
+    evolver = ParquetBucketStore(spark, path)
+    v2 = spark.createDataFrame(
+        [(1, "a", 9.9, 0), (2, "b", 8.8, 1)],
+        "k long, s string, extra double, __bucket int",
+    )
+    evolver.overwrite_buckets(v2)
+
+    # the stale-cached reader must see the evolved schema, not v1's
+    got = reader.read_all()
+    assert set(got.columns) == {"k", "s", "extra"}, (
+        "second instance served a stale cached sidecar schema"
+    )
+    assert {tuple(r) for r in got.collect()} == {(1, "a", 9.9), (2, "b", 8.8)}
+
+
+def test_document_store_id_projection_is_load_bearing(spark):
+    """VERDICT r9 item 7: a pymongo-server-like stand-in that AUTO-INJECTS
+    an ObjectId-like ``_id`` on every insert_many (what a real MongoDB
+    does), honors the two-arg ``find(filter, projection)`` surface, and
+    logs each find's projection. The full populated-collection lifecycle
+    must work over it, AND the schema-inference read must have requested
+    ``{"_id": 0}`` server-side — this test fails if the projection in
+    ``_ensure_schema`` is ever dropped, instead of relying on the
+    client-side strip to paper over the regression."""
+    from mini_project_big_data_analysis_spark.sources.writers import (
+        DocumentKeyedStore,
+        InMemoryDocumentCollection,
+        upsert_into,
+    )
+
+    class ObjectIdLike:  # bson.ObjectId stand-in: not Spark-mappable
+        pass
+
+    class MongoServerLikeCollection(InMemoryDocumentCollection):
+        def insert_many(self, docs):
+            super().insert_many([{"_id": ObjectIdLike(), **d} for d in docs])
+
+        def find(self, query=None, projection=None):
+            docs = super().find(query)  # logs ("find", query) in self.ops
+            self.ops[-1] = ("find", query or {}, projection)
+            if projection is None:
+                return docs
+            assert projection == {"_id": 0}, f"unsupported projection {projection}"
+            return [{k: v for k, v in d.items() if k != "_id"} for d in docs]
+
+    coll = MongoServerLikeCollection()
+    seed = DocumentKeyedStore(spark, coll)
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, s string, v double"
+    )
+    upsert_into(seed, base, keys=["k"], n_buckets=4)
+    assert all("_id" in d for d in coll.docs), "stand-in failed to inject _id"
+
+    # fresh store over the live collection: schema inference runs against
+    # documents that REALLY carry ObjectId-like _id debris
+    fresh = DocumentKeyedStore(spark, coll)
+    upd = spark.createDataFrame([(2, "B", 20.0)], "k long, s string, v double")
+    merged = upsert_into(fresh, upd, keys=["k"], n_buckets=4)
+    assert {tuple(r) for r in merged.select("k", "s", "v").collect()} == {
+        (1, "a", 1.0),
+        (2, "B", 20.0),
+    }
+    assert "_id" not in {f.name for f in fresh._schema.fields}
+
+    projected = [op for op in coll.ops if op[0] == "find" and op[2] == {"_id": 0}]
+    assert projected, (
+        "_ensure_schema never issued find({}, {'_id': 0}) — the server-side "
+        "projection was dropped"
+    )
