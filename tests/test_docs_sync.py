@@ -74,3 +74,22 @@ def test_rotation_doc_window_matches_code():
     only_doc = sorted(doc_ids & set(entry.queries()) - window)
     assert not only_code, f"in coverage_rotation() but not the doc: {only_code}"
     assert not only_doc, f"in the doc window but not coverage_rotation(): {only_doc}"
+
+
+def test_sf100_compare_count_matches_scaling_record():
+    """README's sf100 paragraph and SCALING.md's fifth-point record are
+    hand-written twins; pin the headline compare count so the two can't
+    drift apart again (README said 32 while SCALING.md said 77 in round 9)."""
+    import re
+
+    scaling = (ROOT / "SCALING.md").read_text()
+    m = re.search(r"\*\*(\d+)/(\d+) completed compares\s*\nhash-identical\*\*", scaling)
+    assert m, "SCALING.md sf100 record headline not found"
+    assert m.group(1) == m.group(2), "SCALING.md claims a non-clean sf100 record"
+    n = int(m.group(1))
+    readme = (ROOT / "README.md").read_text()
+    m2 = re.search(r"(\d+) completed oracle compares hash-identical", readme)
+    assert m2, "README sf100 paragraph not found"
+    assert int(m2.group(1)) == n, (
+        f"README says {m2.group(1)} sf100 compares, SCALING.md records {n}"
+    )
