@@ -7,6 +7,13 @@ Usage: python scripts/check_queries.py [sf_dir] [query_id ...]
 columns AFTER the exact hash compare fails — the hash compare stays the
 primary verdict; eps exists to measure whether a mismatch is a 6dp
 rounding knife-edge (passes at 1e-6) or a semantic diff (still fails).
+
+`--duck-temp DIR` / `--duck-mem SIZE` (e.g. `--duck-mem 70GB`) bound the
+ORACLE side's spill location and memory budget — the sf100-tier compares
+(600M-row TPC-H joins) need DuckDB pointed at whichever volume has the
+disk headroom and capped below the box RAM it shares with the Spark JVM
+(round-9 q9 abstention: the oracle exhausted the build box's disk
+mid-spill under default settings).
 """
 
 from __future__ import annotations
@@ -25,15 +32,26 @@ from mini_project_big_data_analysis_spark.session import get_spark  # noqa: E402
 
 def main() -> int:
     argv = sys.argv[1:]
-    eps = None
-    if "--eps" in argv:
-        i = argv.index("--eps")
-        eps = float(argv[i + 1])
-        argv = argv[:i] + argv[i + 2 :]
+
+    def flag(name, cast):
+        if name not in argv:
+            return None
+        i = argv.index(name)
+        v = cast(argv[i + 1])
+        del argv[i : i + 2]
+        return v
+
+    eps = flag("--eps", float)
+    duck_temp = flag("--duck-temp", str)
+    duck_mem = flag("--duck-mem", str)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duck_connection(sf_dir)
+    if duck_temp is not None:
+        con.execute(f"SET temp_directory='{duck_temp}'")
+    if duck_mem is not None:
+        con.execute(f"SET memory_limit='{duck_mem}'")
     failures = []
     for qid, q in sorted(all_queries().items()):
         if only and qid not in only:

@@ -1,0 +1,198 @@
+"""Closed-form 1000×-scale arithmetic pins at the sf100 fixture for the two
+ids whose DuckDB oracle is OUTPUT-cardinality-infeasible past sf10
+(VERDICT r9 item 4): `ext_dedup_simhash` and `join_range_band` both emit
+pair sets that grow with the SQUARE of the copy depth (~2.5e9 and ~1.7e11
+rows at copies=1000), so no engine can hold the differential compare — but
+the fixture's construction makes the full output cardinality and value-sum
+CLOSED-FORM from base-scale measurements:
+
+- `scripts/make_sf1.py` concatenates `copies` key-shifted clones of sf0.1;
+  non-key columns (text, ts, value) are byte-identical per clone.
+- SimHash pair presence and hamming are pure functions of the TEXT pair
+  (hash → chunk blocking → bit_count verify, no id dependence), so every
+  base-scale class pair (sizes s_i, s_j) scales to (c·s_i)·(c·s_j) pairs
+  with the SAME hamming, and every text class adds C(c·s_i, 2) hamming-0
+  intra pairs. Expected total and Σhamming follow from one cheap base run.
+- Range-band pair presence and |Δt| are pure functions of the TS pair;
+  each base pair expands to c² copies with the same |Δt| and each event
+  gains C(c, 2) Δt=0 intra-class pairs.
+
+Each sf100 check is then ONE whole-stage aggregate pass over the lazily
+generated pair stream (count / Σ / max / ordering hygiene — nothing is
+materialized), which is exactly the property the round-9 lazy-expansion
+fix exists to guarantee. Opt-in (the aggregate passes stream ~1.7e11
+generated rows — tens of minutes on the 32-core build box):
+
+    SPARK_GRAFT_SF100_DIR=testdata_sf100 python -m pytest \
+        tests/test_sf100_invariants.py -q
+
+The base fixture defaults to the driver's read-only /root/testdata/sf0.1
+(what testdata_sf100 is derived from); override with
+SPARK_GRAFT_SF100_BASE if the sf100 fixture was derived from elsewhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF100_DIR = os.environ.get("SPARK_GRAFT_SF100_DIR")
+BASE_DIR = os.environ.get("SPARK_GRAFT_SF100_BASE", "/root/testdata/sf0.1")
+
+pytestmark = pytest.mark.skipif(
+    not (
+        SF100_DIR
+        and os.path.exists(os.path.join(SF100_DIR or "", "documents.parquet"))
+    ),
+    reason="sf100 stress fixture run is opt-in: set SPARK_GRAFT_SF100_DIR "
+    "(tens of minutes of runtime; fixture is gitignored — "
+    "scripts/make_sf1.py /root/testdata/sf0.1 testdata_sf100 1000)",
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    """Shadow the shared local[2]/2g conftest session for THIS module with
+    the full build-box shape (local[32]/48g via get_spark defaults) — the
+    aggregate passes stream ~1.7e11 generated join rows. If a session
+    already exists (full-suite run with the env set), reuse it untouched."""
+    from pyspark.sql import SparkSession
+
+    from mini_project_big_data_analysis_spark.session import get_spark
+
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        yield existing
+        return
+    s = get_spark(app_name="mpbda-sf100-invariants")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _copy_depth(spark, table: str) -> int:
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    base_n = load(spark, BASE_DIR, table).count()
+    big_n = load(spark, SF100_DIR, table).count()
+    assert base_n > 0 and big_n % base_n == 0, (
+        f"{SF100_DIR} is not a whole-copy derivation of {BASE_DIR} "
+        f"({big_n} vs {base_n} {table} rows)"
+    )
+    c = big_n // base_n
+    assert c >= 2, "sf100 fixture must be a multi-copy derivation"
+    return c
+
+
+def test_simhash_pairs_sf100_closed_form_arithmetic(spark):
+    """1000× pin for `ext_dedup_simhash`. Base-scale run + class sizes give
+    the exact expected pair count and hamming sum at copies=c; the sf100
+    side is verified in one aggregate pass over the lazy pair expansion."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    c = _copy_depth(spark, "documents")
+
+    # Base-scale class structure (digest 32 bytes, not the text).
+    docs = load(spark, BASE_DIR, "documents").select(
+        "doc_id", F.md5("text").alias("t")
+    )
+    sizes = docs.filter(F.col("t").isNotNull()).groupBy("t").count()
+    cls = sizes.agg(
+        F.sum("count").cast("long").alias("s1"),
+        F.sum(F.col("count") * F.col("count")).cast("long").alias("s2"),
+        F.sum((F.col("count") * (F.col("count") - 1)) / 2)
+        .cast("long")
+        .alias("intra_expected"),
+    ).collect()[0]
+
+    # Base-scale pair run, classified intra vs cross by text class (the
+    # class-pair completeness of this output at 100× depth is already
+    # pinned by tests/test_sf10_invariants.py; here it anchors the
+    # closed form).
+    base_pairs = all_queries()["ext_dedup_simhash"].fn(spark, BASE_DIR)
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    b = (
+        base_pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("hamming").cast("long").alias("sum_h"),
+            F.sum((F.col("ta") == F.col("tb")).cast("long")).alias("intra"),
+        )
+        .collect()[0]
+    )
+    assert b.intra == cls.intra_expected, (
+        "base-scale intra-class completeness broke; the closed form "
+        "cannot anchor on this output"
+    )
+    cross_base = b.n - b.intra
+
+    # Σ_i C(c·s_i, 2) = (c²·Σs_i² − c·Σs_i) / 2  — exact integers.
+    expected_intra = (c * c * cls.s2 - c * cls.s1) // 2
+    expected_total = expected_intra + c * c * cross_base
+    expected_sum_h = c * c * b.sum_h  # intra pairs are hamming 0
+
+    big = all_queries()["ext_dedup_simhash"].fn(spark, SF100_DIR)
+    row = big.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("hamming").cast("long").alias("sum_h"),
+        F.min("hamming").alias("min_h"),
+        F.max("hamming").alias("max_h"),
+        F.sum((F.col("id_a") >= F.col("id_b")).cast("long")).alias("bad_order"),
+    ).collect()[0]
+
+    assert row.bad_order == 0, "canonical id_a < id_b ordering broke at 1000×"
+    assert 0 <= row.min_h and row.max_h <= 3, "hamming threshold leaked"
+    assert row.n == expected_total, (
+        f"pair-count closed form: got {row.n}, expected {expected_total} "
+        f"(c={c}, intra {expected_intra} + cross {c * c * cross_base})"
+    )
+    assert row.sum_h == expected_sum_h, (
+        f"hamming-sum closed form: got {row.sum_h}, expected {expected_sum_h}"
+    )
+
+
+def test_range_band_sf100_closed_form_arithmetic(spark):
+    """1000× pin for `join_range_band`. Timestamps are copied verbatim per
+    clone, so each base pair (|Δt| ≤ 30) expands to c² pairs with the same
+    |Δt| and every event gains C(c, 2) Δt=0 intra-class pairs; count and
+    Σ|Δt| are exact from one base-scale run. ~1.7e11 generated rows stream
+    through a single count/sum/max aggregate — nothing is materialized."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    c = _copy_depth(spark, "events")
+    base_events = load(spark, BASE_DIR, "events").count()
+
+    base = all_queries()["join_range_band"].fn(spark, BASE_DIR)
+    b = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("dt_sec"))).cast("long").alias("sum_abs"),
+        F.max(F.abs(F.col("dt_sec"))).alias("max_abs"),
+    ).collect()[0]
+    assert b.n > 0 and b.max_abs <= 30
+
+    expected_n = (c * (c - 1) // 2) * base_events + c * c * b.n
+    expected_sum = c * c * b.sum_abs  # intra-class pairs are Δt = 0
+
+    big = all_queries()["join_range_band"].fn(spark, SF100_DIR)
+    row = big.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("dt_sec"))).cast("long").alias("sum_abs"),
+        F.max(F.abs(F.col("dt_sec"))).alias("max_abs"),
+        F.sum((F.col("id_a") >= F.col("id_b")).cast("long")).alias("bad_order"),
+    ).collect()[0]
+
+    assert row.bad_order == 0, "canonical id_a < id_b ordering broke at 1000×"
+    assert row.max_abs <= 30, "band threshold leaked"
+    assert row.n == expected_n, (
+        f"pair-count closed form: got {row.n}, expected {expected_n} "
+        f"(c={c}: {c * (c - 1) // 2}·{base_events} intra + {c * c}·{b.n} cross)"
+    )
+    assert row.sum_abs == expected_sum, (
+        f"|Δt|-sum closed form: got {row.sum_abs}, expected {expected_sum}"
+    )
