@@ -43,6 +43,7 @@ def main() -> int:
 
     eps = flag("--eps", float)
     duck_temp = flag("--duck-temp", str)
+    duck_temp_size = flag("--duck-temp-size", str)
     duck_mem = flag("--duck-mem", str)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -50,6 +51,9 @@ def main() -> int:
     con = duck_connection(sf_dir)
     if duck_temp is not None:
         con.execute(f"SET temp_directory='{duck_temp}'")
+    if duck_temp_size is not None:
+        # bound the spill so an oracle-side join can't fill the volume
+        con.execute(f"SET max_temp_directory_size='{duck_temp_size}'")
     if duck_mem is not None:
         con.execute(f"SET memory_limit='{duck_mem}'")
     failures = []
