@@ -47,7 +47,14 @@ def main() -> int:
     duck_mem = flag("--duck-mem", str)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    # The compare collects both result sets driver-side; sf100-tier bulk
+    # compares (5M-row × array columns) overflow the 1g default
+    # maxResultSize — a harness capacity setting, not an operator bound.
+    spark = get_spark(
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.maxResultSize": "16g"},
+    )
     con = duck_connection(sf_dir)
     if duck_temp is not None:
         con.execute(f"SET temp_directory='{duck_temp}'")
