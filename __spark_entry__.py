@@ -29,82 +29,83 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def coverage_rotation() -> list[str]:
-    """Driver correctness-coverage rotation for THIS round (round 10).
+    """Driver correctness-coverage rotation for THIS round (round 11).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
     iteration order each round, so with 241 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly, executing the plan
-    pre-written in COVERAGE_ROTATION.md at the end of round 9:
+    pre-written in COVERAGE_ROTATION.md at the end of round 10:
 
-    1. The 5 round-9 debuts (registered after the round-9 window executed;
-       standing policy puts never-driver-checked ids at the head).
-    2. The 32 remaining round-5-stale ids (last driver row round 5 — the
-       oldest stale set).
-    3. The alphabetically-first 13 round-6-stale ids.
+    1. The 5 round-6-stale ids displaced from the round-10 window by the
+       round-9 debuts (standing policy: they lost their turn, so they go
+       first).
+    2. The 32 remaining round-6-stale ids, alphabetical (last driver row
+       round 6 — the oldest stale set).
+    3. The alphabetically-first 13 round-7-stale ids.
 
-    See COVERAGE_ROTATION.md's round-11 plan for the pre-written next
-    window (the 5 displaced round-6 ids + the remaining 32 round-6 ids +
-    the first 13 round-7 ids).
+    See COVERAGE_ROTATION.md's round-12 plan for the pre-written next
+    window (the remaining 37 round-7-stale ids + the first 13
+    round-8-stale ids).
     """
-    round9_debuts = [
-        "ext_attribution_lasttouch",
-        "ext_domain_cap",
-        "ext_dup_cluster_stats",
-        "ext_entity_match",
-        "ext_token_budget_mix",
-    ]
-    round5_stalest = [
-        "setop_intersect",
-        "setop_union_all",
-        "snk_append_write",
-        "snk_compact_small_files",
-        "snk_json_roundtrip",
-        "snk_partitioned_write",
-        "snk_time_travel",
-        "sort_order_by",
-        "sql_tpch_q2",
-        "sql_tpch_q4",
-        "sql_tpch_q7",
-        "sql_tpch_q8",
-        "sql_tpch_q9",
-        "sql_tpch_q11",
-        "sql_tpch_q12",
-        "sql_tpch_q13",
-        "sql_tpch_q14",
-        "sql_tpch_q15",
-        "sql_tpch_q16",
-        "sql_tpch_q17",
-        "sql_tpch_q19",
-        "sql_tpch_q20",
-        "sql_tpch_q22",
-        "src_json_corrupt",
-        "src_json_scan",
-        "src_orc_roundtrip",
-        "src_parquet_scan",
-        "src_python_datasource",
-        "src_table_scan",
-        "stream_multibatch_agg",
-        "stream_stream_join",
-        "window_gap_islands",
+    round6_displaced = [
+        "ext_funnel_steps",
+        "ext_heavy_hitters",
+        "ext_json_props",
+        "ext_lang_quality",
+        "ext_link_pagerank",
     ]
     round6_stalest = [
-        "agg_cube",
-        "agg_quartiles_exact",
-        "agg_rollup",
-        "agg_session_window",
-        "agg_sliding_window",
-        "ext_ab_zscore",
-        "ext_data_quality",
-        "ext_dataset_mix",
-        "ext_decontaminate",
-        "ext_dedup_fuzzy",
-        "ext_doc_len_histogram",
-        "ext_doc_winnow",
-        "ext_domain_stats",
+        "ext_multimodal_phash_dedup",
+        "ext_perplexity_buckets",
+        "ext_pii_scrub",
+        "ext_pmi_collocations",
+        "ext_retention_cohorts",
+        "ext_sample_stratified",
+        "ext_split_hash",
+        "ext_text_stats",
+        "ext_token_pack",
+        "ext_token_regex_count",
+        "ext_vocab_topk",
+        "ext_zorder_cluster",
+        "join_asof",
+        "join_interval_overlap",
+        "join_range_band",
+        "join_salted_skew",
+        "setop_except",
+        "snk_upsert_write",
+        "sql_recursive_cte",
+        "sql_tpch_q1",
+        "sql_tpch_q3",
+        "sql_tpch_q5",
+        "sql_tpch_q6",
+        "src_csv_roundtrip",
+        "src_jdbc_scan",
+        "src_kafka_segment",
+        "src_schema_evolution",
+        "stream_late_filter",
+        "window_lag_delta",
+        "window_latest_per_key",
+        "window_ntile",
+        "window_rolling_avg",
     ]
-    return round9_debuts + round5_stalest + round6_stalest
+    round7_stalest = [
+        "agg_bitmap_distinct",
+        "agg_bool_aggregates",
+        "agg_filter_clause",
+        "agg_histogram_equiwidth",
+        "agg_listagg",
+        "agg_mode_deterministic",
+        "ext_ab_srm_check",
+        "ext_anomaly_mad",
+        "ext_autocorr",
+        "ext_burst_detect",
+        "ext_compaction_bins",
+        "ext_dedup_containment",
+        "ext_dq_rules",
+    ]
+    return round6_displaced + round6_stalest + round7_stalest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -167,7 +167,15 @@ class ParquetBucketStore(KeyedTableStore):
             out.close()
         if fs.exists(spath):
             fs.delete(spath, False)
-        fs.rename(tmp, spath)
+        # Hadoop's FileSystem.rename reports failure by RETURNING false, not
+        # by raising; unchecked, a failed rename would leave no sidecar and
+        # surface later as a raw FileNotFoundException far from the cause
+        # (ADVICE r10).
+        if not fs.rename(tmp, spath):
+            raise IOError(
+                f"failed to rename schema sidecar {tmp} -> {spath}; "
+                "the table is left without a committed sidecar"
+            )
         self._schema = df.schema
         self._schema_mtime = self._sidecar_stamp(fs, spath)
 
@@ -232,7 +240,13 @@ class ParquetBucketStore(KeyedTableStore):
         # mid-write leaves the new schema over partially-old data, which
         # still scans (parquet fills absent columns with NULL). Writing it
         # AFTER left a data-committed/old-schema window as long as the
-        # parquet job (ADVICE r9).
+        # parquet job (ADVICE r9). The flip side (ADVICE r10): a CONCURRENT
+        # reader during the parquet job applies the evolved schema to
+        # pre-overwrite data — an added column reads all-NULL, a type change
+        # can fail its scan. Like the non-transactional parquet layout
+        # generally, this store assumes single-writer / no-concurrent-reader
+        # during overwrite_buckets; both crash-consistency choices favor the
+        # recovery path, not live concurrency.
         self._write_schema_sidecar(merged)
         (
             merged.write.mode("overwrite")

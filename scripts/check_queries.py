@@ -37,6 +37,8 @@ def main() -> int:
         if name not in argv:
             return None
         i = argv.index(name)
+        if i + 1 >= len(argv):
+            raise SystemExit(f"usage: {name} requires a value")
         v = cast(argv[i + 1])
         del argv[i : i + 2]
         return v
@@ -56,13 +58,20 @@ def main() -> int:
         extra_conf={"spark.driver.maxResultSize": "16g"},
     )
     con = duck_connection(sf_dir)
+
+    def q(v):
+        # DuckDB's SET statement does not accept bound parameters, so escape
+        # the single quotes by doubling them — a path containing a quote can
+        # no longer break out of the literal (ADVICE r10).
+        return "'" + v.replace("'", "''") + "'"
+
     if duck_temp is not None:
-        con.execute(f"SET temp_directory='{duck_temp}'")
+        con.execute(f"SET temp_directory={q(duck_temp)}")
     if duck_temp_size is not None:
         # bound the spill so an oracle-side join can't fill the volume
-        con.execute(f"SET max_temp_directory_size='{duck_temp_size}'")
+        con.execute(f"SET max_temp_directory_size={q(duck_temp_size)}")
     if duck_mem is not None:
-        con.execute(f"SET memory_limit='{duck_mem}'")
+        con.execute(f"SET memory_limit={q(duck_mem)}")
     failures = []
     for qid, q in sorted(all_queries().items()):
         if only and qid not in only:

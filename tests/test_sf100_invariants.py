@@ -41,13 +41,20 @@ from pyspark.sql import functions as F
 SF100_DIR = os.environ.get("SPARK_GRAFT_SF100_DIR")
 BASE_DIR = os.environ.get("SPARK_GRAFT_SF100_BASE", "/root/testdata/sf0.1")
 
+# Both tables the module needs must be present — a partially built fixture
+# (documents written, events still generating) must SKIP with the rebuild
+# hint, not fail tens of minutes in with a load error (ADVICE r10).
 pytestmark = pytest.mark.skipif(
     not (
         SF100_DIR
-        and os.path.exists(os.path.join(SF100_DIR or "", "documents.parquet"))
+        and all(
+            os.path.exists(os.path.join(SF100_DIR or "", t + ".parquet"))
+            for t in ("documents", "events")
+        )
     ),
     reason="sf100 stress fixture run is opt-in: set SPARK_GRAFT_SF100_DIR "
-    "(tens of minutes of runtime; fixture is gitignored — "
+    "to a COMPLETE fixture (documents + events tables; tens of minutes of "
+    "runtime; fixture is gitignored — "
     "scripts/make_sf1.py /root/testdata/sf0.1 testdata_sf100 1000)",
 )
 
@@ -56,14 +63,27 @@ pytestmark = pytest.mark.skipif(
 def spark():
     """Shadow the shared local[2]/2g conftest session for THIS module with
     the full build-box shape (local[32]/48g via get_spark defaults) — the
-    aggregate passes stream ~1.7e11 generated join rows. If a session
-    already exists (full-suite run with the env set), reuse it untouched."""
+    aggregate passes stream ~1.7e11 generated join rows. An already-active
+    session is reused only if it has the build-box shape; silently reusing
+    the conftest's 2g suite session would OOM or hang rather than run
+    (ADVICE r10) — run this module standalone instead."""
     from pyspark.sql import SparkSession
 
     from mini_project_big_data_analysis_spark.session import get_spark
 
     existing = SparkSession.getActiveSession()
     if existing is not None:
+        conf = existing.sparkContext.getConf()
+        cores = existing.sparkContext.defaultParallelism
+        mem = conf.get("spark.driver.memory", "1g").lower()
+        gib = float(mem[:-1]) * (1024 if mem.endswith("t") else 1) if mem[-1] in "gt" else 0.0
+        if cores < 16 or gib < 32:
+            pytest.skip(
+                f"active Spark session is {conf.get('spark.master', '?')}/"
+                f"{mem} — too small for the ~1.7e11-row sf100 aggregate "
+                "passes; run this module STANDALONE so it can build its "
+                "own local[32]/48g session"
+            )
         yield existing
         return
     s = get_spark(app_name="mpbda-sf100-invariants")
