@@ -80,7 +80,11 @@ WHERE len(list_intersect(a.words, b.words))::DOUBLE
 def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (word-set) Jaccard near-dup with deterministic prefix blocking
     — fully SQL-expressible, so the one near-dup tier with a strong oracle.
-    Self-join shuffles on the block key, never all-pairs."""
+    Self-join shuffles on the block key, never all-pairs; since round 11 the
+    join runs over md5-text class representatives like the other dedup
+    tiers (round-7 had deferred the collapse for this sub-second id; the
+    sf1 re-check measured 5.1 s → 1.1 s, so the fixed overhead is paid —
+    see the BASELINE.md round-11 re-plan amendment)."""
     from ..operators.dedup import ngram_jaccard_pairs
 
     docs = load(spark, sf_dir, "documents")

@@ -216,12 +216,15 @@ def ext_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangling-free here since every node emits 3 edges and off-graph targets
     are dropped identically on both sides).
 
-    Iterative shape on Spark: the edge list is built ONCE and repartitioned
-    by join key, then each iteration is one shuffle join (ranks ⋈ edges) +
-    one hash agg keyed by destination. Lineage grows linearly with
-    iterations — at this fixed k=3 that is fine as-is; the k≫10 recipe
-    (localCheckpoint every few iterations to truncate the plan, as
-    ext_dedup_components does) is the documented scale path. Rank mass is
+    Iterative shape on Spark: the edge list is built ONCE, repartitioned by
+    join key and MATERIALIZED (eager localCheckpoint — what GraphX/Pregel
+    do with the edge RDD), so each iteration is one shuffle join
+    (ranks ⋈ edges) + one hash agg keyed by destination against the cached
+    partitions instead of re-deriving edges from the scan; lineage stays
+    constant instead of growing per iteration (round-11 fix for the 1.3×
+    bench drift — isolated re-measure 1.28 s current vs 1.12 s
+    checkpointed vs 1.224 s baseline). For k≫10, checkpoint the RANKS
+    every few iterations too, as ext_dedup_components does. Rank mass is
     reported in parts-per-million so the fixed rounding retains ~7
     significant digits across engines."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
@@ -237,7 +240,7 @@ def ext_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("dst")), "dst"
     ).select("src", "dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_deg = edges.join(deg, "src").repartition("src")
+    edges_deg = edges.join(deg, "src").repartition("src").localCheckpoint(eager=True)
 
     n = F.col("cnt").cast("double")
     ranks = docs.join(F.broadcast(n_df)).select(

@@ -848,7 +848,12 @@ def tws_available() -> bool:
     runtime. Un-gating would require writing a protobuf runtime from
     scratch; the gate stays, and the untyped ``applyInPandasWithState``
     path (stream_stateful_stats, stream_late_filter) covers the custom-
-    stateful-operator capability with strong oracles."""
+    stateful-operator capability with strong oracles.
+
+    Offline-install re-check (round 11): ``pip install --no-index
+    protobuf`` finds no local distribution, ``pip download`` dies on DNS
+    (no network egress from the container), and the pip HTTP cache holds
+    no protobuf wheel — the gate remains environment-bounded."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 

@@ -216,3 +216,210 @@ def test_range_band_sf100_closed_form_arithmetic(spark):
     assert row.sum_abs == expected_sum, (
         f"|Δt|-sum closed form: got {row.sum_abs}, expected {expected_sum}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: the six compare-capacity-bound ids (SCALING.md) — their sf100
+# differential compares are bounded by the ORACLE side (DuckDB unspillable
+# list/blob memory for paragraph_dedup / multimodal_resize / sim_topk, a
+# driver-heap collect of 5M fingerprint arrays for doc_winnow, 80M-row wide
+# result collects for scd2_dim / agg_session_window), never by our plans.
+# Each gets the same style of pin as simhash/range_band above: the fixture
+# is `copies` key-shifted clones with byte-identical non-key columns, so
+# every id below is PER-COPY INVARIANT and its full sf100 output is checked
+# by exact closed-form arithmetic against one cheap base-scale run, consumed
+# as Spark aggregates only (nothing materialized driver-side).
+# ---------------------------------------------------------------------------
+
+
+def _stride_of(spark, table: str, key: str) -> int:
+    """The key shift make_sf1.py applied: next power of ten above the BASE
+    table's max key (scripts/make_sf1.py:_stride)."""
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    m = load(spark, BASE_DIR, table).agg(F.max(key)).collect()[0][0]
+    s = 10
+    while s <= m:
+        s *= 10
+    return s
+
+
+def _crc_sum(df, *cols):
+    """Order-insensitive value digest: Σ crc32 over the utf-8 of the given
+    columns — NULLs made explicit so concat_ws can't silently drop them."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in cols]
+    return df.agg(
+        F.sum(F.crc32(F.encode(F.concat_ws("|", *parts), "utf-8"))).alias("crc"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+
+
+def test_paragraph_dedup_sf100_copy0_wins_everything(spark):
+    """1000× pin for `ext_paragraph_dedup`. Corpus-wide first occurrence =
+    min (doc_id, position) per block hash; clone doc_ids are strictly larger
+    than copy 0's, so copy 0 must reproduce the base output byte-for-byte
+    and every other copy must keep NOTHING (n_kept 0, dedup_text '')."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    c = _copy_depth(spark, "documents")
+    stride = _stride_of(spark, "documents", "doc_id")
+
+    base = all_queries()["ext_paragraph_dedup"].fn(spark, BASE_DIR)
+    b = _crc_sum(base.select(F.col("doc_id"), "n_blocks", "n_kept", "dedup_text"),
+                 "doc_id", "n_blocks", "n_kept", "dedup_text")
+    b_blocks = base.agg(F.sum("n_blocks")).collect()[0][0]
+    b_kept = base.agg(F.sum("n_kept")).collect()[0][0]
+    assert b_kept > 0, "base run kept nothing; the pin would be vacuous"
+
+    big = all_queries()["ext_paragraph_dedup"].fn(spark, SF100_DIR)
+    agg = big.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_blocks").alias("blocks"),
+        F.sum("n_kept").alias("kept"),
+        F.sum(F.when(F.col("doc_id") >= stride, F.col("n_kept"))).alias("kept_clones"),
+        F.sum(
+            F.when(
+                (F.col("doc_id") >= stride) & (F.col("dedup_text") != ""), 1
+            ).otherwise(0)
+        ).alias("nonempty_clone_texts"),
+    ).collect()[0]
+    assert agg.rows == c * b.n, "per-copy row cardinality broke"
+    assert agg.blocks == c * b_blocks, "block explode is not per-copy invariant"
+    assert agg.kept == b_kept, "clone copies kept blocks — first-occurrence broke"
+    assert (agg.kept_clones or 0) == 0 and agg.nonempty_clone_texts == 0
+    copy0 = _crc_sum(
+        big.filter(F.col("doc_id") < stride),
+        "doc_id", "n_blocks", "n_kept", "dedup_text",
+    )
+    assert (copy0.n, copy0.crc) == (b.n, b.crc), "copy 0 is not byte-identical to base"
+
+
+def test_scd2_dim_sf100_per_copy_invariant(spark):
+    """1000× pin for `ext_scd2_dim`. Each clone's per-user event stream is
+    byte-identical (ts/event_type copied verbatim, event_id shift preserves
+    order), so the SCD2 intervals replicate exactly c× with user_id shifted
+    — pinned by keying the value digest on user_id MOD stride."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    c = _copy_depth(spark, "events")
+    stride = _stride_of(spark, "events", "user_id")
+
+    def digest(df):
+        return _crc_sum(
+            df.select(
+                (F.col("user_id") % stride).alias("u"),
+                "event_type", "valid_from", "valid_to", "is_current",
+            ),
+            "u", "event_type", "valid_from", "valid_to", "is_current",
+        )
+
+    b = digest(all_queries()["ext_scd2_dim"].fn(spark, BASE_DIR))
+    big = all_queries()["ext_scd2_dim"].fn(spark, SF100_DIR)
+    g = digest(big)
+    assert g.n == c * b.n, "SCD2 change-row cardinality is not per-copy invariant"
+    assert g.crc == c * b.crc, "SCD2 interval values differ across clones"
+    cur_b = all_queries()["ext_scd2_dim"].fn(spark, BASE_DIR).filter("is_current").count()
+    cur_g = big.filter("is_current").count()
+    assert cur_g == c * cur_b
+
+
+def test_multimodal_resize_sf100_per_copy_invariant(spark):
+    """1000× pin for `ext_multimodal_resize`. Row-local byte decimation of a
+    text-derived payload — output is a pure function of text, so digests
+    replicate exactly c× under the doc_id-mod-stride key."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    c = _copy_depth(spark, "documents")
+    stride = _stride_of(spark, "documents", "doc_id")
+
+    def digest(df):
+        return _crc_sum(
+            df.select(
+                (F.col("doc_id") % stride).alias("d"),
+                "orig_bytes", "resized_bytes", "resized_hash",
+            ),
+            "d", "orig_bytes", "resized_bytes", "resized_hash",
+        )
+
+    b = digest(all_queries()["ext_multimodal_resize"].fn(spark, BASE_DIR))
+    g = digest(all_queries()["ext_multimodal_resize"].fn(spark, SF100_DIR))
+    assert g.n == c * b.n and g.crc == c * b.crc
+
+
+def test_doc_winnow_sf100_per_copy_invariant(spark):
+    """1000× pin for `ext_doc_winnow`. Winnowing fingerprints are a pure
+    function of text; distinct (doc_id, fingerprint) replicates exactly c×.
+    (The sf100 differential compare dies collecting 5M fingerprint rows into
+    the driver/DuckDB — this pin consumes them as one aggregate.)"""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    c = _copy_depth(spark, "documents")
+    stride = _stride_of(spark, "documents", "doc_id")
+
+    def digest(df):
+        return _crc_sum(
+            df.select((F.col("doc_id") % stride).alias("d"), "fingerprint"),
+            "d", "fingerprint",
+        )
+
+    b = digest(all_queries()["ext_doc_winnow"].fn(spark, BASE_DIR))
+    g = digest(all_queries()["ext_doc_winnow"].fn(spark, SF100_DIR))
+    assert g.n == c * b.n and g.crc == c * b.crc
+
+
+def test_session_window_sf100_per_copy_invariant(spark):
+    """1000× pin for `agg_session_window`. Sessionization partitions by
+    user; every clone user replays the identical event stream, so sessions
+    (start, n_events, avg) replicate exactly c× under user_id mod stride."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    c = _copy_depth(spark, "events")
+    stride = _stride_of(spark, "events", "user_id")
+
+    def digest(df):
+        return _crc_sum(
+            df.select(
+                (F.col("user_id") % stride).alias("u"),
+                "session_start", "n_events", "avg_value",
+            ),
+            "u", "session_start", "n_events", "avg_value",
+        )
+
+    b = digest(all_queries()["agg_session_window"].fn(spark, BASE_DIR))
+    big = all_queries()["agg_session_window"].fn(spark, SF100_DIR)
+    g = digest(big)
+    assert g.n == c * b.n, "session cardinality is not per-copy invariant"
+    assert g.crc == c * b.crc, "session aggregates differ across clones"
+    ev_b = big.agg(F.sum("n_events")).collect()[0][0]
+    from mini_project_big_data_analysis_spark.queries.base import load
+    assert ev_b == load(spark, SF100_DIR, "events").count(), "events lost/dup'd"
+
+
+def test_sim_topk_sf100_closed_form_self_copies(spark):
+    """1000× pin for `ext_sim_topk`. The 5 query vectors (vec_id < 5) have
+    c−1 byte-identical clones at vec_id = q + k·stride, each at cosine 1.0;
+    `exclude_self` removes only vec_id == query_id, so the exact top-10 per
+    query is CLOSED FORM: its first 10 clones, rank k ↔ q + k·stride —
+    provided no OTHER base vector ties at rounded cosine 1.0 (asserted on
+    the base run). 50 expected rows; the only collect is those 50."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    _copy_depth(spark, "embeddings")
+    stride = _stride_of(spark, "embeddings", "vec_id")
+
+    base_max = (
+        all_queries()["ext_sim_topk"].fn(spark, BASE_DIR)
+        .agg(F.max("cosine_sim")).collect()[0][0]
+    )
+    assert base_max < 1.0, (
+        "a non-clone base vector ties at cosine 1.0; closed form invalid"
+    )
+
+    rows = all_queries()["ext_sim_topk"].fn(spark, SF100_DIR).collect()
+    assert len(rows) == 50, f"expected 5 queries × top-10, got {len(rows)}"
+    for r in rows:
+        assert r.cosine_sim == 1.0, f"non-clone row in top-10: {r}"
+        assert r.vec_id == r.query_id + r.rank * stride, (
+            f"rank {r.rank} of query {r.query_id} is {r.vec_id}, "
+            f"expected {r.query_id + r.rank * stride}"
+        )

@@ -376,6 +376,46 @@ def test_registered_ann_and_ivf_recall_vs_exact(spark, sf_dir):
         assert recall >= floor, f"{qid} recall@10 {recall:.2f} < {floor}"
 
 
+@pytest.mark.skipif(
+    not os.path.exists("testdata_sf1/embeddings.parquet"),
+    reason="second-scale recall pin needs the derived sf1 fixture "
+    "(gitignored build artifact — scripts/make_sf1.py)",
+)
+@pytest.mark.parametrize(
+    "qid,floor",
+    [
+        # LSH recall is data-distribution-sensitive, so the fixture-scale pin
+        # above does not transfer automatically; measured at the 10×-duplicate
+        # sf1 corpus (round 11): ann 1.00, ivf 0.98. The dup-heavy regime is
+        # EASIER for both (a query's 9 byte-identical clones share its bucket
+        # and cell by construction, so ≥9/10 of the exact answer is free);
+        # floors leave room for one runtime-drift miss beyond the measurement.
+        ("ext_sim_ann", 0.95),
+        ("ext_sim_ivf", 0.90),
+    ],
+)
+def test_ann_recall_second_scale_point(spark, qid, floor):
+    """recall@10 vs exact at testdata_sf1 — the 10× corpus whose duplicate
+    profile is the opposite distribution regime from the uniform-random
+    driver fixture (VERDICT r10 item 5)."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    reg = all_queries()
+    sf1 = "testdata_sf1"
+    truth: dict[int, list[int]] = {}
+    for r in sorted(
+        reg["ext_sim_topk"].fn(spark, sf1).collect(), key=lambda r: r.rank
+    ):
+        truth.setdefault(r.query_id, []).append(r.vec_id)
+    got: dict[int, set[int]] = {}
+    for r in reg[qid].fn(spark, sf1).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(set(truth[q][:10]) & got.get(q, set())) for q in truth)
+    total = sum(len(truth[q][:10]) for q in truth)
+    recall = hits / total
+    assert recall >= floor, f"{qid} sf1 recall@10 {recall:.2f} < {floor}"
+
+
 class _FakeStore:
     """In-memory KeyedTableStore: proves the MERGE algorithm only ever
     touches the connector surface (a Mongo/JDBC writer implements the same
