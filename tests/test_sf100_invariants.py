@@ -423,3 +423,80 @@ def test_sim_topk_sf100_closed_form_self_copies(spark):
             f"rank {r.rank} of query {r.query_id} is {r.vec_id}, "
             f"expected {r.query_id + r.rank * stride}"
         )
+
+
+def test_ngram_pairs_sf100_closed_form_arithmetic(spark):
+    """1000× pin for `ext_dedup_ngram` (round 11 — pins the new rep-collapse
+    at 1000-deep classes). Pair presence and jaccard are pure functions of
+    the TEXT pair (prefix-8 block + word-set jaccard, no id dependence), so
+    like simhash: every base cross pair scales to c² pairs with the SAME
+    jaccard, and every non-NULL text class contributes ALL C(c·sᵢ, 2)
+    jaccard-1.0 intra pairs (identical word sets share their block by
+    construction). ~3e10 generated pairs stream through one aggregate pass
+    — nothing materialized; jaccard is summed as round(j·1e6) longs so the
+    arithmetic is exact integers."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    c = _copy_depth(spark, "documents")
+
+    docs = load(spark, BASE_DIR, "documents").select(
+        "doc_id", F.md5("text").alias("t")
+    )
+    sizes = docs.filter(F.col("t").isNotNull()).groupBy("t").count()
+    cls = sizes.agg(
+        F.sum("count").cast("long").alias("s1"),
+        F.sum(F.col("count") * F.col("count")).cast("long").alias("s2"),
+        F.sum((F.col("count") * (F.col("count") - 1)) / 2)
+        .cast("long")
+        .alias("intra_expected"),
+    ).collect()[0]
+
+    j6 = F.round(F.col("jaccard") * 1e6).cast("long")
+    base_pairs = all_queries()["ext_dedup_ngram"].fn(spark, BASE_DIR)
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    b = (
+        base_pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(j6).alias("sum_j6"),
+            F.sum((F.col("ta") == F.col("tb")).cast("long")).alias("intra"),
+            F.sum(
+                F.when(F.col("ta") == F.col("tb"), j6)
+            ).alias("intra_j6"),
+        )
+        .collect()[0]
+    )
+    assert b.intra == cls.intra_expected, (
+        "base intra-class completeness broke; closed form cannot anchor"
+    )
+    assert (b.intra_j6 or 0) == b.intra * 1_000_000, (
+        "identical-text pairs must have jaccard exactly 1.0"
+    )
+    cross_base = b.n - b.intra
+    cross_j6_base = b.sum_j6 - (b.intra_j6 or 0)
+
+    expected_intra = (c * c * cls.s2 - c * cls.s1) // 2
+    expected_total = expected_intra + c * c * cross_base
+    expected_sum_j6 = expected_intra * 1_000_000 + c * c * cross_j6_base
+
+    big = all_queries()["ext_dedup_ngram"].fn(spark, SF100_DIR)
+    row = big.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(j6).alias("sum_j6"),
+        F.min("jaccard").alias("min_j"),
+        F.max("jaccard").alias("max_j"),
+        F.sum((F.col("id_a") >= F.col("id_b")).cast("long")).alias("bad_order"),
+    ).collect()[0]
+
+    assert row.bad_order == 0, "canonical id_a < id_b ordering broke at 1000×"
+    assert row.min_j >= 0.3 and row.max_j <= 1.0, "jaccard threshold leaked"
+    assert row.n == expected_total, (
+        f"pair-count closed form: got {row.n}, expected {expected_total} "
+        f"(c={c}, intra {expected_intra} + cross {c * c * cross_base})"
+    )
+    assert row.sum_j6 == expected_sum_j6, (
+        f"jaccard-sum closed form: got {row.sum_j6}, expected {expected_sum_j6}"
+    )
