@@ -72,6 +72,41 @@ def test_ngram_jaccard_blocked_pairs(spark):
     assert (1, 3) in found
 
 
+def test_ngram_collapse_expansion_is_member_uniform(spark):
+    """Round-11 collapse regression pin for ngram_jaccard_pairs (the same
+    contract test_dup_class_expansion_is_member_uniform pins for MinHash):
+    a tripled exact-dup class must expand to every intra-class pair at
+    Jaccard exactly 1.0, every member must score IDENTICALLY against an
+    outside near-dup, NULL-text docs must contribute no pairs (they form
+    no class), and same-word-set non-identical texts must still pair
+    through the CROSS branch (different md5 classes, same block key)."""
+    rows = [
+        (1, BASE), (2, BASE), (3, BASE),   # 3-member exact-dup class
+        (4, NEAR),                          # near dup, same 4-word prefix
+        (5, OTHER),
+        (6, None), (7, None), (8, None),    # planted NULL-text class
+        (9, BASE + " "),                    # same word SET, different text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", block_words=4, threshold=0.5
+    ).collect()
+    by_pair = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert len(by_pair) == len(pairs), "duplicate output pairs"
+    for p in [(1, 2), (1, 3), (2, 3)]:
+        assert by_pair.get(p) == 1.0, by_pair
+    # trailing-space doc: distinct md5 class, identical word set — must pair
+    # with every BASE member at 1.0 through the cross branch
+    for p in [(1, 9), (2, 9), (3, 9)]:
+        assert by_pair.get(p) == 1.0, by_pair
+    near_scores = {j for (a, b), j in by_pair.items() if 4 in (a, b)}
+    assert len(near_scores) == 1, f"class members scored unequally: {near_scores}"
+    assert {(a, b) for (a, b) in by_pair if 4 in (a, b)} == {
+        (1, 4), (2, 4), (3, 4), (4, 9)
+    }
+    assert all(a not in (6, 7, 8) and b not in (6, 7, 8) for a, b in by_pair)
+
+
 def test_simhash_pairs_hamming(spark):
     # a 1-token edit in a 300-token doc flips 2 simhash bits (deterministic,
     # md5-based) — within both the hamming budget and the 4-chunk pigeonhole
