@@ -49,11 +49,11 @@ pytestmark = pytest.mark.skipif(
         SF100_DIR
         and all(
             os.path.exists(os.path.join(SF100_DIR or "", t + ".parquet"))
-            for t in ("documents", "events")
+            for t in ("documents", "events", "customer")
         )
     ),
     reason="sf100 stress fixture run is opt-in: set SPARK_GRAFT_SF100_DIR "
-    "to a COMPLETE fixture (documents + events tables; tens of minutes of "
+    "to a COMPLETE fixture (documents + events + customer tables; tens of minutes of "
     "runtime; fixture is gitignored — "
     "scripts/make_sf1.py /root/testdata/sf0.1 testdata_sf100 1000)",
 )
@@ -499,4 +499,176 @@ def test_ngram_pairs_sf100_closed_form_arithmetic(spark):
     )
     assert row.sum_j6 == expected_sum_j6, (
         f"jaccard-sum closed form: got {row.sum_j6}, expected {expected_sum_j6}"
+    )
+
+
+def _closed_form_pair_pin(
+    spark, qid, value_col, class_key_fn, base_scale, big_scale,
+    value_to_long=None, value_bounds=None, table="documents",
+    pair_cols=("id_a", "id_b"),
+):
+    """Shared template for the pair-expansion closed forms (round 11):
+    pair presence and value are pure functions of the clone-invariant
+    class key (text / (lang,source,text) / (name,nation)), so
+    ``total = Σᵢ C(c·sᵢ, 2) + c²·cross_base`` and the value sum scales
+    ``intra·v_intra + c²·cross_sum_base``, all exact integers. The base
+    run anchors cross_base; the sf100 side is ONE aggregate pass over the
+    lazily expanded pair stream."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    c = _copy_depth(spark, table)
+    id_col = {"documents": "doc_id", "customer": "c_custkey"}[table]
+
+    docs = class_key_fn(load(spark, base_scale, table)).select(
+        F.col(id_col).alias("__id"), F.col("__cls")
+    )
+    # class sizes over PAIR-ELIGIBLE rows only (NULL class key = ineligible)
+    cls = (
+        docs.filter(F.col("__cls").isNotNull())
+        .groupBy("__cls")
+        .count()
+        .agg(
+            F.sum("count").cast("long").alias("s1"),
+            F.sum(F.col("count") * F.col("count")).cast("long").alias("s2"),
+            F.sum((F.col("count") * (F.col("count") - 1)) / 2)
+            .cast("long")
+            .alias("intra_expected"),
+        )
+        .collect()[0]
+    )
+
+    pa, pb = pair_cols
+    vl = value_to_long or (lambda col: F.col(col).cast("long"))
+    base_pairs = all_queries()[qid].fn(spark, base_scale)
+    da = docs.select(F.col("__id").alias(pa), F.col("__cls").alias("ca"))
+    db = docs.select(F.col("__id").alias(pb), F.col("__cls").alias("cb"))
+    b = (
+        base_pairs.join(da, pa)
+        .join(db, pb)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(vl(value_col)).alias("sum_v"),
+            F.sum((F.col("ca") == F.col("cb")).cast("long")).alias("intra"),
+            F.sum(F.when(F.col("ca") == F.col("cb"), vl(value_col))).alias("intra_v"),
+        )
+        .collect()[0]
+    )
+    assert b.intra == cls.intra_expected, (
+        f"{qid}: base intra-class completeness broke; closed form cannot anchor "
+        f"(got {b.intra}, expected {cls.intra_expected})"
+    )
+    cross_base = b.n - b.intra
+    cross_v_base = (b.sum_v or 0) - (b.intra_v or 0)
+    # intra pairs all carry one constant value (jaccard 1.0 / distance 0)
+    intra_v_unit = 0 if b.intra == 0 else (b.intra_v or 0) // b.intra
+    assert (b.intra_v or 0) == b.intra * intra_v_unit, (
+        f"{qid}: intra-class pair values are not constant"
+    )
+
+    expected_intra = (c * c * cls.s2 - c * cls.s1) // 2
+    expected_total = expected_intra + c * c * cross_base
+    expected_sum_v = expected_intra * intra_v_unit + c * c * cross_v_base
+
+    big = all_queries()[qid].fn(spark, big_scale)
+    row = big.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vl(value_col)).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+        F.sum((F.col(pa) >= F.col(pb)).cast("long")).alias("bad_order"),
+    ).collect()[0]
+
+    assert row.bad_order == 0, f"{qid}: canonical {pa} < {pb} ordering broke"
+    if value_bounds is not None:
+        lo, hi = value_bounds
+        assert lo <= row.min_v and row.max_v <= hi, f"{qid}: threshold leaked"
+    assert row.n == expected_total, (
+        f"{qid} pair-count closed form: got {row.n}, expected {expected_total} "
+        f"(c={c}, intra {expected_intra} + cross {c * c * cross_base})"
+    )
+    assert (row.sum_v or 0) == expected_sum_v, (
+        f"{qid} value-sum closed form: got {row.sum_v}, expected {expected_sum_v}"
+    )
+
+
+def test_fuzzy_pairs_sf100_closed_form_arithmetic(spark):
+    """1000× pin for `ext_dedup_fuzzy` (MinHash-LSH). Signature, banding,
+    candidate generation and the verified jaccard are all pure functions of
+    the text pair; shingle-less texts (< k tokens) are ineligible by the
+    operator's contract and contribute no intra pairs. ~2.5e9 pairs stream
+    through one aggregate (the round-9 lazy-expansion rule's guard)."""
+    from mini_project_big_data_analysis_spark.functions.text_fns import (
+        shingles_from_tokens,
+        whitespace_tokens,
+    )
+
+    def key(df):
+        return df.withColumn(
+            "__cls",
+            F.when(
+                F.col("text").isNotNull()
+                & (
+                    F.size(
+                        F.array_distinct(
+                            shingles_from_tokens(
+                                whitespace_tokens("text"), 3
+                            )
+                        )
+                    )
+                    > 0
+                ),
+                F.md5("text"),
+            ),
+        )
+
+    _closed_form_pair_pin(
+        spark, "ext_dedup_fuzzy", "jaccard", key, BASE_DIR, SF100_DIR,
+        value_to_long=lambda col: F.round(F.col(col) * 1e6).cast("long"),
+        value_bounds=(0.3, 1.0),
+    )
+
+
+def test_editdist_pairs_sf100_closed_form_arithmetic(spark):
+    """1000× pin for `ext_dedup_editdist`. Pair presence and Levenshtein
+    distance are pure functions of the (lang, source, text) triple — the
+    block key is (lang, source, prefix-12) and NULL-keyed docs never pair.
+    Clone-identical triples are distance 0 by definition."""
+
+    def key(df):
+        eligible = (
+            F.col("text").isNotNull()
+            & F.col("lang").isNotNull()
+            & F.col("source").isNotNull()
+        )
+        return df.withColumn(
+            "__cls",
+            F.when(eligible, F.md5(F.concat_ws("\x01", "lang", "source", "text"))),
+        )
+
+    _closed_form_pair_pin(
+        spark, "ext_dedup_editdist", "edit_dist", key, BASE_DIR, SF100_DIR,
+        value_bounds=(0, 6),
+    )
+
+
+def test_entity_match_sf100_closed_form_arithmetic(spark):
+    """1000× pin for `ext_entity_match` (customer-record linkage). Name and
+    nation are clone-invariant, so every base match scales c² with the same
+    distance and every (c_name, c_nationkey) class adds its C(c·sᵢ, 2)
+    distance-0 clone pairs — ~1.7e11 generated pairs through one aggregate,
+    the sf10 pin's arithmetic carried to 1000×."""
+
+    def key(df):
+        return df.withColumn(
+            "__cls",
+            F.when(
+                F.col("c_name").isNotNull() & F.col("c_nationkey").isNotNull(),
+                F.md5(F.concat_ws("\x01", "c_name", F.col("c_nationkey").cast("string"))),
+            ),
+        )
+
+    _closed_form_pair_pin(
+        spark, "ext_entity_match", "name_dist", key, BASE_DIR, SF100_DIR,
+        value_bounds=(0, 2), table="customer", pair_cols=("a_id", "b_id"),
     )
