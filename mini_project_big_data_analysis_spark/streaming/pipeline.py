@@ -62,6 +62,32 @@ KAFKA_WIRE_SCHEMA = (
 )
 
 
+#: Per-query completion budget for the availableNow runners, seconds.
+#: Overridable for large-fixture runs (the sf100 differential tier drives
+#: 100M events through the Python stateful operators — legitimately past
+#: the 5-minute dev-loop default).
+STREAM_BUDGET_S = float(os.environ.get("SPARK_GRAFT_STREAM_BUDGET_S", "300"))
+
+
+def _await_done(q) -> None:
+    """Block until an availableNow query terminates, failing LOUDLY on
+    budget exhaustion. The previous inline ``q.awaitTermination(300)``
+    ignored the boolean result, so a query still running at the deadline
+    let the caller read a PARTIAL (or empty) sink table as if it were the
+    final answer — exactly the silent-wrong-output failure the strong
+    oracles exist to catch, first observed when `stream_stateful_stats`
+    returned 0 rows at the sf100 tier (100M events > 300 s through
+    applyInPandasWithState). Stopping the query on timeout keeps the
+    SparkSession reusable for the caller's error handling."""
+    if not q.awaitTermination(STREAM_BUDGET_S):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} still running after "
+            f"{STREAM_BUDGET_S:.0f}s; raise SPARK_GRAFT_STREAM_BUDGET_S for "
+            "large fixtures instead of reading a partial sink"
+        )
+
+
 def decode_kafka_events(raw: DataFrame) -> DataFrame:
     """Kafka wire records (binary key/value + metadata) → typed event rows:
     the consumer's JSON deserializer (consumer.py:24) as engine code.
@@ -194,7 +220,7 @@ def run_tumbling_agg_availablenow(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q)
     return spark.table(name)
 
 
@@ -231,7 +257,7 @@ def run_clean_to_parquet_availablenow(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q)
     # batch_id=N dirs read back as a partition column; drop it so the sink
     # scan's schema equals the batch-cleaned table's.
     return spark.read.parquet(path).select("event_id", "user_id", "event_type", "value")
@@ -276,7 +302,7 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q)
     return spark.table(name)
 
 
@@ -319,7 +345,7 @@ def run_fanout_sinks_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q)
     cols = ["event_id", "user_id", "event_type", "value"]
     a = spark.read.parquet(path_a).select(*cols).withColumn("sink", F.lit("archive"))
     b = spark.read.parquet(path_b).select(*cols).withColumn("sink", F.lit("serving"))
@@ -393,7 +419,7 @@ def run_stream_dedup_availablenow(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q)
     return spark.table(name)
 
 
@@ -462,7 +488,7 @@ def run_stateful_running_stats(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q)
     emissions = spark.table(name)
     # final emission per key = the complete running totals (strong-oracle
     # shape regardless of how the source split micro-batches)
@@ -535,7 +561,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q)
     return spark.table(name)
 
 
@@ -1014,7 +1040,7 @@ def run_sliding_agg_availablenow(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q)
     return spark.table(name)
 
 
@@ -1051,5 +1077,5 @@ def run_session_agg_availablenow(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q)
     return spark.table(name)

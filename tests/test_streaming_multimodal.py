@@ -195,3 +195,19 @@ def test_stream_restarts_from_checkpoint_exactly_once(spark, tmp_path):
     run_once()  # restart: same checkpoint, must pick up ONLY the new file
     got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
     assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+
+
+def test_stream_budget_exhaustion_raises_not_partial(spark, sf_dir, monkeypatch):
+    """A query still running when the completion budget expires must raise,
+    never hand the caller a partial sink table (found at the sf100 tier:
+    `stream_stateful_stats` silently returned 0 of 5 rows when 100M events
+    outran the old unchecked awaitTermination(300))."""
+    import pytest
+
+    from mini_project_big_data_analysis_spark.streaming import pipeline
+
+    # 50 ms: enough for awaitTermination's seconds→ms conversion to stay
+    # positive, far below any real availableNow run on the fixture
+    monkeypatch.setattr(pipeline, "STREAM_BUDGET_S", 0.05)
+    with pytest.raises(TimeoutError, match="SPARK_GRAFT_STREAM_BUDGET_S"):
+        pipeline.run_tumbling_agg_availablenow(spark, sf_dir)
