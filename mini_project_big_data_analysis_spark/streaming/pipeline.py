@@ -294,16 +294,27 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.coalesce("n_name", F.lit("unknown")).alias("nation"),
     )
+    # Production sink shape (round 11): batch_id-keyed idempotent parquet
+    # via foreachBatch, like run_clean_to_parquet_availablenow — a memory
+    # sink materializes the whole result driver-side (dev-tool shape) and
+    # caps the runner at driver heap; this one scales with the sink store.
+    path = os.path.join(tempfile.gettempdir(), "mpbda_stream_sink", name)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
+
     q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
+        enriched.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     _await_done(q)
-    return spark.table(name)
+    return spark.read.parquet(path).select(
+        "event_id", "user_id", "event_type", "nation"
+    )
 
 
 def run_fanout_sinks_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,16 +422,26 @@ def run_stream_dedup_availablenow(
         .dropDuplicatesWithinWatermark([*keys])
         .select("event_id", "user_id", "event_type", "value")
     )
+    # Production sink shape (round 11): idempotent batch_id-keyed parquet
+    # instead of the driver-bound memory sink — the dedup STATE is already
+    # partition-distributed; this makes the sink side scale too.
+    path = os.path.join(tempfile.gettempdir(), "mpbda_stream_sink", name)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
+
     q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
+        deduped.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     _await_done(q)
-    return spark.table(name)
+    return spark.read.parquet(path).select(
+        "event_id", "user_id", "event_type", "value"
+    )
 
 
 def run_stateful_running_stats(
@@ -553,16 +574,26 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("purchase_time") - F.unix_timestamp("click_time")
         ).alias("gap_s"),
     )
+    # Production sink shape (round 11): join output is DATA-proportional
+    # (pairs, not state-grain), so it lands in batch_id-keyed idempotent
+    # parquet rather than a driver-bound memory sink.
+    path = os.path.join(tempfile.gettempdir(), "mpbda_stream_sink", name)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
+
     q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
+        joined.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     _await_done(q)
-    return spark.table(name)
+    return spark.read.parquet(path).select(
+        "click_id", "purchase_id", "user_id", "gap_s"
+    )
 
 
 def run_multibatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,10 +792,17 @@ def run_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # Production sink shape (round 11): admitted rows are DATA-proportional
+    # — batch_id-keyed idempotent parquet, not a driver-bound memory sink.
+    sink = os.path.join(base, "sink")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch_id={batch_id}")
+        )
+
     q = (
-        admitted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
+        admitted.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", os.path.join(base, "ck"))
         .start()
     )
@@ -772,7 +810,7 @@ def run_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return spark.read.parquet(sink).select("event_id", "user_id", "ts_s", "value")
 
 
 def run_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,9 +1025,17 @@ def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+    # Production sink shape (round 11): deduped rows are DATA-proportional
+    # — batch_id-keyed idempotent parquet, not a driver-bound memory sink.
+    sink = os.path.join(base, "sink")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch_id={batch_id}")
+        )
+
     q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
+        deduped.writeStream.foreachBatch(write_batch)
         .outputMode("append")
         .option("checkpointLocation", os.path.join(base, "ck"))
         .start()
@@ -998,7 +1044,7 @@ def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return spark.read.parquet(sink).select("event_id", "user_id", "ts_s", "value")
 
 
 def run_sliding_agg_availablenow(
@@ -1069,13 +1115,23 @@ def run_session_agg_availablenow(
         )
         .select("user_id", "session_start", "n_events", "avg_value")
     )
+    # Production sink shape (round 11): complete mode needs a sink that can
+    # replace the whole result per trigger — foreachBatch + whole-directory
+    # overwrite is that sink at scale (a memory sink is the same semantics
+    # materialized on the DRIVER, capping the runner at driver heap).
+    path = os.path.join(tempfile.gettempdir(), "mpbda_stream_sink", name)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(path)
+
     q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
+        agg.writeStream.foreachBatch(write_batch)
         .outputMode("complete")
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     _await_done(q)
-    return spark.table(name)
+    return spark.read.parquet(path).select(
+        "user_id", "session_start", "n_events", "avg_value"
+    )
