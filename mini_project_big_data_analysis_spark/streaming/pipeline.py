@@ -463,20 +463,52 @@ def run_stateful_running_stats(
     checkpointed with the query, mergeable across restarts — the 100 TB
     posture is per-key state on the shuffle partition owning the key,
     exactly how transformWithState scales.
+
+    MAP-SIDE COMBINE before the keyed state op (round 11, found at the
+    sf100 tier): the state runner ships each key's ENTIRE batch group to
+    one Python worker through a single grow-by-copy direct buffer, so a
+    low-cardinality key (a handful of event types over 100M rows) is both
+    parallelism-bound and quadratic in buffer growth — the run sat at 290%
+    CPU in DirectByteBufferOutputStream.grow for over an hour. A stateless
+    ``mapInPandas`` partial aggregate per Arrow chunk (count/sum/min/max
+    are associative) shrinks what crosses the shuffle to one row per
+    (scan chunk, key), and the state op merges partials — semantics
+    identical, the sf100 run drops to minutes. This is the same rule as
+    batch map-side combine: never shuffle raw rows into a keyed state op
+    when the state update is an associative fold.
     """
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    def partials(pdfs):
+        for pdf in pdfs:
+            rows = pdf.dropna(subset=["value"])
+            if not len(rows):
+                continue
+            g = rows.groupby("event_type")["value"].agg(
+                ["count", "sum", "min", "max"]
+            )
+            yield pd.DataFrame(
+                {
+                    "event_type": g.index,
+                    "pn": g["count"].astype("int64"),
+                    "ps": g["sum"],
+                    "pmn": g["min"],
+                    "pmx": g["max"],
+                }
+            )
+
     def update(key, pdfs, state: GroupState):
         n, s, mn, mx = state.get if state.exists else (0, 0.0, None, None)
         for pdf in pdfs:
-            vals = pdf["value"].dropna()
-            if len(vals):
-                n += int(len(vals))
-                s += float(vals.sum())
-                mn = float(vals.min()) if mn is None else min(mn, float(vals.min()))
-                mx = float(vals.max()) if mx is None else max(mx, float(vals.max()))
+            if not len(pdf):
+                continue
+            n += int(pdf["pn"].sum())
+            s += float(pdf["ps"].sum())
+            bmn, bmx = float(pdf["pmn"].min()), float(pdf["pmx"].max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
         state.update((n, s, mn, mx))
         yield pd.DataFrame(
             {
@@ -491,7 +523,10 @@ def run_stateful_running_stats(
     name = f"stateful_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
     stream = clean_event_stream(read_events_stream(spark, sf_dir))
-    running = stream.groupBy("event_type").applyInPandasWithState(
+    shrunk = stream.select("event_type", "value").mapInPandas(
+        partials, "event_type string, pn long, ps double, pmn double, pmx double"
+    )
+    running = shrunk.groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType=(
             "event_type string, n_events long, sum_value double, "
