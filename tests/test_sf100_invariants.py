@@ -782,3 +782,56 @@ def test_stream_fanout_sinks_sf100_per_copy_invariant(spark):
         {"event_id": ev_stride, "user_id": cust_stride},
         ["event_id", "user_id", "event_type", "value", "sink"],
     )
+
+
+def test_stream_static_enrich_sf100_per_copy_invariant(spark):
+    """1000× pin for `stream_static_enrich` — per-batch broadcast dim join
+    at 100M events. Clones keep c_nationkey verbatim and user_id shares the
+    'cust' family stride with c_custkey, so each copy enriches to the same
+    nation image."""
+    ev_stride = _family_stride(spark, [("events", "event_id")])
+    cust_stride = _family_stride(
+        spark, [("events", "user_id"), ("customer", "c_custkey"),
+                ("orders", "o_custkey")]
+    )
+    _per_copy_stream_pin(
+        spark,
+        "stream_static_enrich",
+        {"event_id": ev_stride, "user_id": cust_stride},
+        ["event_id", "user_id", "event_type", "nation"],
+    )
+
+
+def test_stream_session_agg_sf100_per_copy_invariant(spark):
+    """1000× pin for `stream_session_agg` — session_window keyed state at
+    100M events / 1000× the users. Each clone user's event stream is
+    byte-identical, so the session set must be exactly c digest-identical
+    images (a split or unmerged session in ANY copy breaks the digest)."""
+    cust_stride = _family_stride(
+        spark, [("events", "user_id"), ("customer", "c_custkey"),
+                ("orders", "o_custkey")]
+    )
+    _per_copy_stream_pin(
+        spark,
+        "stream_session_agg",
+        {"user_id": cust_stride},
+        ["user_id", "session_start", "n_events", "avg_value"],
+    )
+
+
+def test_stream_dedup_sf100_per_copy_invariant(spark):
+    """1000× pin for `stream_dedup` — watermarked
+    dropDuplicatesWithinWatermark under a DOUBLED 100M-event delivery:
+    200M rows in, keyed state must eliminate the replay exactly, sink must
+    be c copy images of the base single-delivery clean table."""
+    ev_stride = _family_stride(spark, [("events", "event_id")])
+    cust_stride = _family_stride(
+        spark, [("events", "user_id"), ("customer", "c_custkey"),
+                ("orders", "o_custkey")]
+    )
+    _per_copy_stream_pin(
+        spark,
+        "stream_dedup",
+        {"event_id": ev_stride, "user_id": cust_stride},
+        ["event_id", "user_id", "event_type", "value"],
+    )
