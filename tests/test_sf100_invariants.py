@@ -835,3 +835,23 @@ def test_stream_dedup_sf100_per_copy_invariant(spark):
         {"event_id": ev_stride, "user_id": cust_stride},
         ["event_id", "user_id", "event_type", "value"],
     )
+
+
+def test_stream_late_filter_sf100_per_copy_invariant(spark):
+    """1000× pin for `stream_late_filter` — per-user high-water admission
+    (applyInPandasWithState) over 100M events in two parity micro-batches.
+    Each clone user's stream is byte-identical and the event_id stride is
+    even (a power of ten), so the parity split and the admission decisions
+    replicate per copy exactly. Key cardinality scales with users (no
+    low-cardinality group buffering — contrast stream_stateful_stats)."""
+    ev_stride = _family_stride(spark, [("events", "event_id")])
+    cust_stride = _family_stride(
+        spark, [("events", "user_id"), ("customer", "c_custkey"),
+                ("orders", "o_custkey")]
+    )
+    _per_copy_stream_pin(
+        spark,
+        "stream_late_filter",
+        {"event_id": ev_stride, "user_id": cust_stride},
+        ["event_id", "user_id", "ts_s", "value"],
+    )
