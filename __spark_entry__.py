@@ -29,83 +29,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def coverage_rotation() -> list[str]:
-    """Driver correctness-coverage rotation for THIS round (round 11).
+    """Driver correctness-coverage rotation for THIS round (round 12).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
     iteration order each round, so with 241 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly, executing the plan
-    pre-written in COVERAGE_ROTATION.md at the end of round 10:
+    pre-written in COVERAGE_ROTATION.md at the end of round 11 — pure
+    stalest-first:
 
-    1. The 5 round-6-stale ids displaced from the round-10 window by the
-       round-9 debuts (standing policy: they lost their turn, so they go
-       first).
-    2. The 32 remaining round-6-stale ids, alphabetical (last driver row
-       round 6 — the oldest stale set).
-    3. The alphabetically-first 13 round-7-stale ids.
+    1. The 37 remaining round-7-stale ids, alphabetical (last driver row
+       round 7 — the oldest stale set after round 11 retired round 6).
+    2. The alphabetically-first 13 round-8-stale ids.
 
-    See COVERAGE_ROTATION.md's round-12 plan for the pre-written next
-    window (the remaining 37 round-7-stale ids + the first 13
-    round-8-stale ids).
+    See COVERAGE_ROTATION.md's round-13 plan for the pre-written next
+    window (the 4 rows-only-contract ids' one scheduled rows>0 slot +
+    the remaining 33 round-8-stale ids + the first 13 round-9-stale ids).
     """
-    round6_displaced = [
-        "ext_funnel_steps",
-        "ext_heavy_hitters",
-        "ext_json_props",
-        "ext_lang_quality",
-        "ext_link_pagerank",
-    ]
-    round6_stalest = [
-        "ext_multimodal_phash_dedup",
-        "ext_perplexity_buckets",
-        "ext_pii_scrub",
-        "ext_pmi_collocations",
-        "ext_retention_cohorts",
-        "ext_sample_stratified",
-        "ext_split_hash",
-        "ext_text_stats",
-        "ext_token_pack",
-        "ext_token_regex_count",
-        "ext_vocab_topk",
-        "ext_zorder_cluster",
-        "join_asof",
-        "join_interval_overlap",
-        "join_range_band",
-        "join_salted_skew",
-        "setop_except",
-        "snk_upsert_write",
-        "sql_recursive_cte",
-        "sql_tpch_q1",
-        "sql_tpch_q3",
-        "sql_tpch_q5",
-        "sql_tpch_q6",
-        "src_csv_roundtrip",
-        "src_jdbc_scan",
-        "src_kafka_segment",
-        "src_schema_evolution",
-        "stream_late_filter",
-        "window_lag_delta",
-        "window_latest_per_key",
-        "window_ntile",
-        "window_rolling_avg",
-    ]
     round7_stalest = [
-        "agg_bitmap_distinct",
-        "agg_bool_aggregates",
-        "agg_filter_clause",
-        "agg_histogram_equiwidth",
-        "agg_listagg",
-        "agg_mode_deterministic",
-        "ext_ab_srm_check",
-        "ext_anomaly_mad",
-        "ext_autocorr",
-        "ext_burst_detect",
-        "ext_compaction_bins",
-        "ext_dedup_containment",
-        "ext_dq_rules",
+        "ext_ewma_smooth",
+        "ext_gini_concentration",
+        "ext_incremental_view",
+        "ext_ks_test",
+        "ext_markov_transitions",
+        "ext_multimodal_framesample",
+        "ext_multimodal_resize",
+        "ext_ngram_novelty",
+        "ext_sample_exact_k",
+        "ext_sequence_match",
+        "ext_skyline_pareto",
+        "ext_span_dedup",
+        "ext_time_gapfill",
+        "ext_token_drift",
+        "ext_triangle_count",
+        "ext_vector_quantize",
+        "ext_winsorize",
+        "fn_array_hof",
+        "fn_collation_group",
+        "fn_mapinarrow_norms",
+        "fn_udtf_sentences",
+        "fn_variant_json",
+        "join_null_safe",
+        "join_skew_salt",
+        "setop_intersect_all",
+        "sql_groupby_all",
+        "sql_lateral_view",
+        "sql_pivot",
+        "src_footer_stats",
+        "src_xml_roundtrip",
+        "stream_foreachbatch_upsert",
+        "stream_session_agg",
+        "stream_sliding_agg",
+        "stream_tumbling_agg",
+        "window_rolling_corr",
+        "window_running_distinct",
+        "window_topk_per_group",
     ]
-    return round6_displaced + round6_stalest + round7_stalest
+    round8_stalest = [
+        "agg_corr_stats",
+        "agg_count",
+        "agg_describe",
+        "agg_distinct_sorted",
+        "agg_global_stats",
+        "agg_group_avg",
+        "agg_grouping_sets",
+        "agg_hll_distinct",
+        "agg_min_max",
+        "agg_mode",
+        "agg_pivot",
+        "agg_time_window",
+        "agg_value_counts",
+    ]
+    return round7_stalest + round8_stalest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -59,19 +59,20 @@ def main() -> int:
     )
     con = duck_connection(sf_dir)
 
-    def q(v):
+    def quote_literal(v):
         # DuckDB's SET statement does not accept bound parameters, so escape
         # the single quotes by doubling them — a path containing a quote can
-        # no longer break out of the literal (ADVICE r10).
+        # no longer break out of the literal (ADVICE r10). Named to avoid
+        # shadowing by the `q` loop variable below (ADVICE r11).
         return "'" + v.replace("'", "''") + "'"
 
     if duck_temp is not None:
-        con.execute(f"SET temp_directory={q(duck_temp)}")
+        con.execute(f"SET temp_directory={quote_literal(duck_temp)}")
     if duck_temp_size is not None:
         # bound the spill so an oracle-side join can't fill the volume
-        con.execute(f"SET max_temp_directory_size={q(duck_temp_size)}")
+        con.execute(f"SET max_temp_directory_size={quote_literal(duck_temp_size)}")
     if duck_mem is not None:
-        con.execute(f"SET memory_limit={q(duck_mem)}")
+        con.execute(f"SET memory_limit={quote_literal(duck_mem)}")
     failures = []
     for qid, q in sorted(all_queries().items()):
         if only and qid not in only:
