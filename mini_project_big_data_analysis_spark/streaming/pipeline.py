@@ -88,6 +88,25 @@ def _await_done(q) -> None:
         )
 
 
+def _read_sink_or_empty(spark: SparkSession, path: str, ddl: str) -> DataFrame:
+    """Read a foreachBatch parquet sink back, guarded against zero batches.
+
+    File sources under ``availableNow`` fire an empty batch 0 even on a
+    zero-row fixture (scripts/empty_sweep.py pins that), but the guarantee
+    is per-source, not universal — a source that yields NO micro-batches
+    never creates the sink directory, and a bare ``read.parquet`` would
+    raise PATH_NOT_FOUND where the pre-round-11 memory sink returned an
+    empty table (ADVICE r11). ``ddl`` declares the sink's written column
+    types, so the empty frame is column- and type-identical to the
+    populated read-back (schema stability holds on both branches). The
+    select also drops the ``batch_id=N`` partition column the idempotent
+    sink layout adds."""
+    schema = T.StructType.fromDDL(ddl)
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(path).select(*[f.name for f in schema.fields])
+
+
 def decode_kafka_events(raw: DataFrame) -> DataFrame:
     """Kafka wire records (binary key/value + metadata) → typed event rows:
     the consumer's JSON deserializer (consumer.py:24) as engine code.
@@ -258,9 +277,7 @@ def run_clean_to_parquet_availablenow(
         .start()
     )
     _await_done(q)
-    # batch_id=N dirs read back as a partition column; drop it so the sink
-    # scan's schema equals the batch-cleaned table's.
-    return spark.read.parquet(path).select("event_id", "user_id", "event_type", "value")
+    return _read_sink_or_empty(spark, path, "event_id long, user_id long, event_type string, value double")
 
 
 def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,8 +329,8 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _await_done(q)
-    return spark.read.parquet(path).select(
-        "event_id", "user_id", "event_type", "nation"
+    return _read_sink_or_empty(
+        spark, path, "event_id long, user_id long, event_type string, nation string"
     )
 
 
@@ -357,9 +374,8 @@ def run_fanout_sinks_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     _await_done(q)
-    cols = ["event_id", "user_id", "event_type", "value"]
-    a = spark.read.parquet(path_a).select(*cols).withColumn("sink", F.lit("archive"))
-    b = spark.read.parquet(path_b).select(*cols).withColumn("sink", F.lit("serving"))
+    a = _read_sink_or_empty(spark, path_a, "event_id long, user_id long, event_type string, value double").withColumn("sink", F.lit("archive"))
+    b = _read_sink_or_empty(spark, path_b, "event_id long, user_id long, event_type string, value double").withColumn("sink", F.lit("serving"))
     return a.unionByName(b)
 
 
@@ -439,9 +455,7 @@ def run_stream_dedup_availablenow(
         .start()
     )
     _await_done(q)
-    return spark.read.parquet(path).select(
-        "event_id", "user_id", "event_type", "value"
-    )
+    return _read_sink_or_empty(spark, path, "event_id long, user_id long, event_type string, value double")
 
 
 def run_stateful_running_stats(
@@ -626,8 +640,8 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _await_done(q)
-    return spark.read.parquet(path).select(
-        "click_id", "purchase_id", "user_id", "gap_s"
+    return _read_sink_or_empty(
+        spark, path, "click_id long, purchase_id long, user_id long, gap_s long"
     )
 
 
@@ -845,7 +859,9 @@ def run_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(sink).select("event_id", "user_id", "ts_s", "value")
+    return _read_sink_or_empty(
+        spark, sink, "event_id long, user_id long, ts_s string, value double"
+    )
 
 
 def run_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1079,7 +1095,9 @@ def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(sink).select("event_id", "user_id", "ts_s", "value")
+    return _read_sink_or_empty(
+        spark, sink, "event_id long, user_id long, ts_s string, value double"
+    )
 
 
 def run_sliding_agg_availablenow(
@@ -1167,6 +1185,8 @@ def run_session_agg_availablenow(
         .start()
     )
     _await_done(q)
-    return spark.read.parquet(path).select(
-        "user_id", "session_start", "n_events", "avg_value"
+    return _read_sink_or_empty(
+        spark,
+        path,
+        "user_id long, session_start string, n_events long, avg_value double",
     )

@@ -18,6 +18,7 @@ mid-spill under default settings).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -47,6 +48,16 @@ def main() -> int:
     duck_temp = flag("--duck-temp", str)
     duck_temp_size = flag("--duck-temp-size", str)
     duck_mem = flag("--duck-mem", str)
+    stream_budget = flag("--stream-budget", float)
+    if stream_budget is not None:
+        # STREAM_BUDGET_S was bound when the queries package imported the
+        # streaming pipeline above, so set BOTH the env (any late import /
+        # child utility) and the live module value — a large-fixture tier
+        # run must not die halfway on the 300 s dev default (VERDICT r11).
+        os.environ["SPARK_GRAFT_STREAM_BUDGET_S"] = str(stream_budget)
+        from mini_project_big_data_analysis_spark.streaming import pipeline
+
+        pipeline.STREAM_BUDGET_S = stream_budget
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     # The compare collects both result sets driver-side; sf100-tier bulk

@@ -14,6 +14,7 @@ pressure):
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -24,8 +25,20 @@ from mini_project_big_data_analysis_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1]
-    ids = sys.argv[2:]
+    argv = sys.argv[1:]
+    if "--stream-budget" in argv:
+        # Same env plumbing as check_queries: a tier sweep over the stream
+        # ids must be able to raise the 300 s availableNow budget without
+        # exporting env by hand (VERDICT r11).
+        i = argv.index("--stream-budget")
+        budget = float(argv[i + 1])
+        del argv[i : i + 2]
+        os.environ["SPARK_GRAFT_STREAM_BUDGET_S"] = str(budget)
+        from mini_project_big_data_analysis_spark.streaming import pipeline
+
+        pipeline.STREAM_BUDGET_S = budget
+    sf_dir = argv[0]
+    ids = argv[1:]
     spark = get_spark(app_name="mpbda-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()

@@ -76,7 +76,14 @@ def spark():
         conf = existing.sparkContext.getConf()
         cores = existing.sparkContext.defaultParallelism
         mem = conf.get("spark.driver.memory", "1g").lower()
-        gib = float(mem[:-1]) * (1024 if mem.endswith("t") else 1) if mem[-1] in "gt" else 0.0
+        # Normalize every JVM memory suffix (k/m/g/t and bare bytes) before
+        # the >=32 GiB comparison — a valid '49152m' or bytes value must not
+        # compute 0.0 and spuriously skip the module (ADVICE r11).
+        _scale = {"k": 1 / 1024**2, "m": 1 / 1024, "g": 1.0, "t": 1024.0}
+        if mem[-1] in _scale:
+            gib = float(mem[:-1]) * _scale[mem[-1]]
+        else:
+            gib = float(mem) / 1024**3  # unsuffixed JVM value = bytes
         if cores < 16 or gib < 32:
             pytest.skip(
                 f"active Spark session is {conf.get('spark.master', '?')}/"
