@@ -44,8 +44,9 @@ def coverage_rotation() -> list[str]:
     2. The alphabetically-first 13 round-8-stale ids.
 
     See COVERAGE_ROTATION.md's round-13 plan for the pre-written next
-    window (the 4 rows-only-contract ids' one scheduled rows>0 slot +
-    the remaining 33 round-8-stale ids + the first 13 round-9-stale ids).
+    window (the round-12 debut `ext_graph_bfs_depth` + the 4
+    rows-only-contract ids' one scheduled rows>0 slot + 36 round-8-stale
+    ids + the first 9 round-9-stale ids).
     """
     round7_stalest = [
         "ext_ewma_smooth",

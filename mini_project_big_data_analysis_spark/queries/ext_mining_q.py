@@ -270,6 +270,109 @@ def ext_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ext_graph_bfs_depth — k≫10 iterative BFS with periodic lineage checkpoints
+# ---------------------------------------------------------------------------
+
+_BFS_ITERS = 15
+_BFS_CKPT_EVERY = 5
+_BFS_SEED_MOD = 97
+
+
+def _bfs_oracle() -> str:
+    edges = " UNION ALL ".join(
+        _PR_EDGES_SQL.format(a=a, b=b) for a, b in [(31, 7), (57, 13), (91, 3)]
+    )
+    # AS MATERIALIZED is load-bearing: each d{{i}} references its
+    # predecessor TWICE (kept rows ∪ relaxed rows), so letting DuckDB
+    # inline the chain expands 2^15 copies of the base scan ("Too many
+    # open files" before it even plans).
+    sql = f"""
+WITH edges_raw AS ({edges}),
+edges AS MATERIALIZED (
+    SELECT e.src, e.dst FROM edges_raw e
+    JOIN documents t ON t.doc_id = e.dst
+),
+d0 AS MATERIALIZED (
+    SELECT doc_id, 0::BIGINT AS dist FROM documents
+    WHERE doc_id % {_BFS_SEED_MOD} = 0
+)"""
+    prev = "d0"
+    for i in range(1, _BFS_ITERS + 1):
+        sql += f""",
+d{i} AS MATERIALIZED (
+    SELECT doc_id, min(dist)::BIGINT AS dist FROM (
+        SELECT doc_id, dist FROM {prev}
+        UNION ALL
+        SELECT e.dst AS doc_id, d.dist + 1 AS dist
+        FROM edges e JOIN {prev} d ON d.doc_id = e.src
+    ) u GROUP BY doc_id
+)"""
+        prev = f"d{i}"
+    sql += f"""
+SELECT doc_id, dist FROM {prev}
+"""
+    return sql
+
+
+@register("ext_graph_bfs_depth", _bfs_oracle())
+def ext_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS depth (15 rounds) over the citation graph — hop
+    distance from a deterministic seed set (doc_id % 97 == 0), the standard
+    crawl-frontier / influence-radius primitive, and the k≫10 iterative
+    template `ext_link_pagerank`'s docstring prescribes but (until this id)
+    nothing exercised: at 3 rounds a growing lineage is survivable, at 15
+    it is not.
+
+    Iterative shape on Spark: edges are built ONCE, repartitioned on the
+    join key and eagerly localCheckpoint'd (the GraphX edge-RDD shape);
+    each round is one shuffle join (frontier ⋈ edges) + one min hash-agg.
+    The distance table is additionally localCheckpoint'd every
+    _BFS_CKPT_EVERY rounds — WITHOUT the periodic cut, every round appends
+    a join+agg to the plan and analysis/codegen cost grows superlinearly in
+    k (the same lineage blow-up ext_dedup_components cuts per round;
+    checkpointing every round would pay k materializations, every-m
+    amortizes to k/m). Distances stay BIGINT end-to-end, so the oracle
+    compare is exact — no float knife-edges at any scale. Unreached nodes
+    are absent rather than NULL (frontier semantics; count(rows) < N is the
+    coverage signal a curation pipeline reads off this table)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_df = docs.agg(F.count(F.lit(1)).alias("cnt"))
+    edges_raw = None
+    for a, b in [(31, 7), (57, 13), (91, 3)]:
+        e = docs.join(F.broadcast(n_df)).select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % F.col("cnt")).alias("dst"),
+        )
+        edges_raw = e if edges_raw is None else edges_raw.unionByName(e)
+    edges = (
+        edges_raw.join(docs.select(F.col("doc_id").alias("dst")), "dst")
+        .select("src", "dst")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+
+    dist = docs.filter(F.col("doc_id") % _BFS_SEED_MOD == 0).select(
+        "doc_id", F.lit(0).cast("long").alias("dist")
+    )
+    for i in range(1, _BFS_ITERS + 1):
+        hop = (
+            edges.join(dist.withColumnRenamed("doc_id", "src"), "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.col("dist") + F.lit(1).cast("long")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("doc_id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if i % _BFS_CKPT_EVERY == 0 and i < _BFS_ITERS:
+            dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
+# ---------------------------------------------------------------------------
 # ext_triangle_count — triangle census of the citation graph
 # ---------------------------------------------------------------------------
 

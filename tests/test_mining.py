@@ -112,3 +112,62 @@ def test_interval_overlap_plan_is_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_bfs_depth_seeds_frontier_and_bounds(spark, sf_dir):
+    """`ext_graph_bfs_depth` structural pins the exact-hash oracle can't
+    state: (a) the seed set is exactly doc_id % 97 == 0 at dist 0; (b)
+    every non-seed reached node has an in-edge from a node one hop
+    shallower (BFS frontier optimality — a min() lost to a dropped
+    checkpoint or a stale lineage cut would break this); (c) all depths
+    lie in [0, 15]."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    rows = all_queries()["ext_graph_bfs_depth"].fn(spark, sf_dir).collect()
+    dist = {r.doc_id: r.dist for r in rows}
+    assert dist, "no reached nodes on the smoke fixture"
+    assert all(0 <= d <= 15 for d in dist.values())
+
+    doc_ids = [r.doc_id for r in load(spark, sf_dir, "documents").select("doc_id").collect()]
+    seeds = {i for i in doc_ids if i % 97 == 0}
+    assert seeds == {i for i, d in dist.items() if d == 0}
+
+    n = len(doc_ids)
+    present = set(doc_ids)
+    in_edges: dict[int, list[int]] = {}
+    for src in doc_ids:
+        for a, b in [(31, 7), (57, 13), (91, 3)]:
+            dst = (src * a + b) % n
+            if dst in present:
+                in_edges.setdefault(dst, []).append(src)
+    for node, d in dist.items():
+        if d == 0:
+            continue
+        preds = in_edges.get(node, [])
+        assert any(dist.get(p) == d - 1 for p in preds), (
+            f"node {node} at depth {d} has no predecessor at depth {d - 1}"
+        )
+
+
+def test_bfs_depth_unreachable_absent(spark, tmp_path):
+    """A doc with no in-edges and a non-seed id must be ABSENT from the
+    output (frontier semantics), and a seed-free corpus yields zero rows —
+    the coverage signal a curation pipeline reads off this table."""
+    import os
+
+    from mini_project_big_data_analysis_spark.queries.ext_mining_q import (
+        ext_graph_bfs_depth,
+    )
+
+    d = str(tmp_path / "bfs_docs")
+    os.makedirs(d, exist_ok=True)
+    # ids 1..6, no id % 97 == 0 → no seeds → empty result
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 5) for i in range(1, 7)],
+        "doc_id long, text string, lang string, source string, n_tokens long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = ext_graph_bfs_depth(spark, d)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "dist"]
