@@ -138,6 +138,7 @@ def stream_weather_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     from ..sources.weather_source import register_weather_source
+    from ..streaming.pipeline import _drain_and_stop
 
     register_weather_source(spark)
     name = f"wx_{_uuid.uuid4().hex[:10]}"
@@ -164,10 +165,7 @@ def stream_weather_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("complete")
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_and_stop(q)
     return spark.table(name)
 
 

@@ -69,6 +69,14 @@ KAFKA_WIRE_SCHEMA = (
 STREAM_BUDGET_S = float(os.environ.get("SPARK_GRAFT_STREAM_BUDGET_S", "300"))
 
 
+#: When a list, every completed availableNow query appends its full
+#: per-micro-batch progress record here (scripts/audit_stream_state.py
+#: sets it to collect state-operator metrics — rows in state, watermark
+#: evictions, state memory — without touching the pipelines themselves).
+#: None (the default) is free: production runs never pay for collection.
+PROGRESS_SINK: list | None = None
+
+
 def _await_done(q) -> None:
     """Block until an availableNow query terminates, failing LOUDLY on
     budget exhaustion. The previous inline ``q.awaitTermination(300)``
@@ -86,6 +94,25 @@ def _await_done(q) -> None:
             f"{STREAM_BUDGET_S:.0f}s; raise SPARK_GRAFT_STREAM_BUDGET_S for "
             "large fixtures instead of reading a partial sink"
         )
+    if PROGRESS_SINK is not None:
+        PROGRESS_SINK.append({"query_id": str(q.id), "progress": list(q.recentProgress)})
+
+
+def _drain_and_stop(q) -> None:
+    """``processAllAvailable`` + ``stop`` for the paced (non-availableNow)
+    runners, with the same progress capture as ``_await_done`` so the
+    state audit sees the multi-batch ids too. processAllAvailable blocks
+    until the bounded source is caught up, so a successful return means
+    the sink is complete — the stop in ``finally`` keeps the session
+    reusable if the query instead raises."""
+    try:
+        q.processAllAvailable()
+        if PROGRESS_SINK is not None:
+            PROGRESS_SINK.append(
+                {"query_id": str(q.id), "progress": list(q.recentProgress)}
+            )
+    finally:
+        q.stop()
 
 
 def _read_sink_or_empty(spark: SparkSession, path: str, ddl: str) -> DataFrame:
@@ -412,10 +439,18 @@ def run_stream_dedup_availablenow(
     the sink entirely — plain ``dropDuplicates`` only ever lost STATE, never
     data. So the delay must be ≥ the source's worst out-of-order skew
     WITHIN a delivery, not just the replay window between deliveries. This
-    harness satisfies it by construction (both deliveries land in one
-    micro-batch, so the watermark never advances between them), and the
-    oracle enforces it: the sink must hash-equal the batch-cleaned
-    single-delivery table, so a silently dropped key fails the compare.
+    harness satisfies it because the deliveries are byte-identical: each
+    replayed row carries the SAME event time as the state entry it must
+    match, so a key already evicted (state-ts < watermark) has its replay
+    equally late (row-ts = state-ts < watermark) and is dropped as late
+    data rather than re-emitted, while a key still in state suppresses the
+    replay as a duplicate — exact either way, however availableNow splits
+    the deliveries into batches (the round-12 state audit measured Spark
+    4.1.2 planning them as TWO micro-batches, one per file, with state
+    evicted down to the keys-in-horizon between them: peak 10,000 → end 29
+    at sf0.01 — scripts/audit_stream_state.py). The oracle enforces it:
+    the sink must hash-equal the batch-cleaned single-delivery table, so a
+    silently dropped key or a surviving duplicate fails the compare.
     """
     import shutil
 
@@ -424,9 +459,10 @@ def run_stream_dedup_availablenow(
     delivery = os.path.join(tempfile.gettempdir(), "mpbda_dedup_src", name)
     os.makedirs(delivery, exist_ok=True)
     src = os.path.join(sf_dir, "events.parquet")
-    # Two byte-identical deliveries of the same upstream data; default file
-    # source options (no maxFilesPerTrigger) plan them into one micro-batch,
-    # so the watermark — updated only between batches — cannot drop either.
+    # Two byte-identical deliveries of the same upstream data. availableNow
+    # may batch them together or per-file (4.1.2 measured: one batch per
+    # file); identical event times make the dedup exact either way — see
+    # the docstring's skew precondition.
     shutil.copy(src, os.path.join(delivery, "delivery_a.parquet"))
     shutil.copy(src, os.path.join(delivery, "delivery_b.parquet"))
 
@@ -739,10 +775,7 @@ def run_multibatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(base, "ck"))
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_and_stop(q)
     return spark.table(name).filter(F.col("event_type") != "sentinel")
 
 
@@ -855,10 +888,7 @@ def run_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(base, "ck"))
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_and_stop(q)
     return _read_sink_or_empty(
         spark, sink, "event_id long, user_id long, ts_s string, value double"
     )
@@ -937,10 +967,7 @@ def run_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(base, "ck"))
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_and_stop(q)
     return store.read_all().select(
         "user_id",
         "event_id",
@@ -1091,10 +1118,7 @@ def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(base, "ck"))
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_and_stop(q)
     return _read_sink_or_empty(
         spark, sink, "event_id long, user_id long, ts_s string, value double"
     )
