@@ -37,7 +37,7 @@ from mini_project_big_data_analysis_spark.streaming import pipeline  # noqa: E40
 
 
 def summarize(captured: list[dict]) -> dict[str, int]:
-    batches = input_rows = peak_state = end_state = evicted = peak_mem = 0
+    batches = input_rows = peak_state = end_state = evicted = removed = peak_mem = 0
     for qrec in captured:
         prog = qrec["progress"]
         batches += len(prog)
@@ -48,7 +48,10 @@ def summarize(captured: list[dict]) -> dict[str, int]:
             mem = sum(int(o.get("memoryUsedBytes", 0)) for o in ops)
             peak_state = max(peak_state, rows)
             peak_mem = max(peak_mem, mem)
+            # late INPUT rows dropped at the operator vs STATE entries the
+            # watermark expired — different mechanisms, both reported
             evicted += sum(int(o.get("numRowsDroppedByWatermark", 0)) for o in ops)
+            removed += sum(int(o.get("numRowsRemoved", 0)) for o in ops)
         if prog:
             last_ops = prog[-1].get("stateOperators") or []
             end_state = max(
@@ -60,6 +63,7 @@ def summarize(captured: list[dict]) -> dict[str, int]:
         "peak_state": peak_state,
         "end_state": end_state,
         "evicted": evicted,
+        "removed": removed,
         "peak_mem": peak_mem,
         "queries": len(captured),
     }
@@ -86,15 +90,20 @@ def main() -> int:
         print(
             f"# {qid}: batches={r['batches']} input={r['input_rows']:,} "
             f"peak_state={r['peak_state']:,} end={r['end_state']:,} "
-            f"evicted={r['evicted']:,} peak_mem={r['peak_mem']:,}",
+            f"late_dropped={r['evicted']:,} state_removed={r['removed']:,} "
+            f"peak_mem={r['peak_mem']:,}",
             file=sys.stderr,
         )
-    print("| query id | batches | input rows | peak state rows | end state | evicted | peak state mem |")
-    print("|---|---|---|---|---|---|---|")
+    print(
+        "| query id | batches | input rows | peak state rows | end state "
+        "| late dropped | state removed | peak state mem |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
     for qid, r in out.items():
         print(
             f"| {qid} | {r['batches']} | {r['input_rows']:,} | {r['peak_state']:,} "
-            f"| {r['end_state']:,} | {r['evicted']:,} | {r['peak_mem']:,} |"
+            f"| {r['end_state']:,} | {r['evicted']:,} | {r['removed']:,} "
+            f"| {r['peak_mem']:,} |"
         )
     print(json.dumps(out))
     return 0
