@@ -70,8 +70,17 @@ def summarize(captured: list[dict]) -> dict[str, int]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:]
+    argv = sys.argv[1:]
+    if "--stream-budget" in argv:
+        # same plumbing as check_queries/scaling_sweep: a large-fixture
+        # audit must be able to raise the 300 s availableNow budget
+        # (the sf100 sweep ran at 1800 s)
+        i = argv.index("--stream-budget")
+        budget = float(argv[i + 1])
+        del argv[i : i + 2]
+        pipeline.STREAM_BUDGET_S = budget
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = argv[1:]
     spark = get_spark(app_name="mpbda-stream-state-audit")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
