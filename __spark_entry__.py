@@ -29,80 +29,86 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def coverage_rotation() -> list[str]:
-    """Driver correctness-coverage rotation for THIS round (round 12).
+    """Driver correctness-coverage rotation for THIS round (round 13).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
-    iteration order each round, so with 241 registered ids only a rotating
+    iteration order each round, so with 242 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly, executing the plan
-    pre-written in COVERAGE_ROTATION.md at the end of round 11 — pure
-    stalest-first:
+    pre-written in COVERAGE_ROTATION.md at the end of round 12:
 
-    1. The 37 remaining round-7-stale ids, alphabetical (last driver row
-       round 7 — the oldest stale set after round 11 retired round 6).
-    2. The alphabetically-first 13 round-8-stale ids.
+    1. The round-12 debut ``ext_graph_bfs_depth`` (never driver-checked;
+       standing policy puts debuts at the head).
+    2. The 4 rows-only-contract ids' ONE scheduled driver rows>0 slot
+       (``agg_quartiles_approx ext_compression_ratio ext_sim_ann
+       ext_sim_ivf`` — no oracle by declared contract, quantitative pins
+       stay in pytest; after this round they return to never consuming a
+       strong-check slot).
+    3. The 36 alphabetically-first remaining round-8-stale ids
+       (``window_nth_value`` is pushed to round 14 by the debut).
+    4. The alphabetically-first 9 round-9-stale ids.
 
-    See COVERAGE_ROTATION.md's round-13 plan for the pre-written next
-    window (the round-12 debut `ext_graph_bfs_depth` + the 4
-    rows-only-contract ids' one scheduled rows>0 slot + 36 round-8-stale
-    ids + the first 9 round-9-stale ids).
+    See COVERAGE_ROTATION.md's round-14 plan for the pre-written next
+    window.
     """
-    round7_stalest = [
-        "ext_ewma_smooth",
-        "ext_gini_concentration",
-        "ext_incremental_view",
-        "ext_ks_test",
-        "ext_markov_transitions",
-        "ext_multimodal_framesample",
-        "ext_multimodal_resize",
-        "ext_ngram_novelty",
-        "ext_sample_exact_k",
-        "ext_sequence_match",
-        "ext_skyline_pareto",
-        "ext_span_dedup",
-        "ext_time_gapfill",
-        "ext_token_drift",
-        "ext_triangle_count",
-        "ext_vector_quantize",
-        "ext_winsorize",
-        "fn_array_hof",
-        "fn_collation_group",
-        "fn_mapinarrow_norms",
-        "fn_udtf_sentences",
-        "fn_variant_json",
-        "join_null_safe",
-        "join_skew_salt",
-        "setop_intersect_all",
-        "sql_groupby_all",
-        "sql_lateral_view",
-        "sql_pivot",
-        "src_footer_stats",
-        "src_xml_roundtrip",
-        "stream_foreachbatch_upsert",
-        "stream_session_agg",
-        "stream_sliding_agg",
-        "stream_tumbling_agg",
-        "window_rolling_corr",
-        "window_running_distinct",
-        "window_topk_per_group",
+    debut = ["ext_graph_bfs_depth"]
+    rows_only_slot = [
+        "agg_quartiles_approx",
+        "ext_compression_ratio",
+        "ext_sim_ann",
+        "ext_sim_ivf",
     ]
     round8_stalest = [
-        "agg_corr_stats",
-        "agg_count",
-        "agg_describe",
-        "agg_distinct_sorted",
-        "agg_global_stats",
-        "agg_group_avg",
-        "agg_grouping_sets",
-        "agg_hll_distinct",
-        "agg_min_max",
-        "agg_mode",
-        "agg_pivot",
-        "agg_time_window",
-        "agg_value_counts",
+        "ext_ab_power",
+        "ext_basket_lift",
+        "ext_benford_audit",
+        "ext_changepoint_meanshift",
+        "ext_cohort_ltv",
+        "ext_dedup_components",
+        "ext_dedup_editdist",
+        "ext_dedup_exact",
+        "ext_dedup_fingerprint",
+        "ext_dedup_incremental",
+        "ext_dedup_keep_best",
+        "ext_dedup_ngram",
+        "ext_dedup_simhash",
+        "ext_emb_neardup",
+        "ext_embed_centroids",
+        "ext_graph_degree_dist",
+        "ext_lang_confusion",
+        "ext_multimodal_chunks",
+        "ext_multimodal_features",
+        "ext_multimodal_meta",
+        "ext_percentile_bands",
+        "ext_pipeline_e2e",
+        "ext_psi_stability",
+        "ext_quality_gate",
+        "ext_rank_normalize",
+        "ext_sample_pps",
+        "ext_seasonality_index",
+        "ext_sim_topk",
+        "ext_smoothed_rates",
+        "ext_user_rfm",
+        "ext_vocab_growth",
+        "fn_regex_extract",
+        "join_bucketed",
+        "stream_clean_sink",
+        "stream_stateful_stats",
+        "stream_weather_pipeline",
     ]
-    return round7_stalest + round8_stalest
+    round9_stalest = [
+        "agg_cached_dashboard",
+        "agg_udaf_geomean",
+        "ext_bm25_search",
+        "ext_cdc_merge",
+        "ext_dedup_url",
+        "ext_doc_chunk",
+        "ext_paragraph_dedup",
+        "ext_repetition_stats",
+        "ext_scd2_dim",
+    ]
+    return debut + rows_only_slot + round8_stalest + round9_stalest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
