@@ -82,11 +82,23 @@ def cli_main(argv: list[str] | None = None, spark=None) -> int:
         import importlib.util
         import os
 
-        # __spark_entry__.py lives at the repo root, next to the package
+        # __spark_entry__.py lives at the repo root, next to the package —
+        # which means `entry` only works from a repo checkout. With the
+        # package installed to site-packages the resolved path doesn't
+        # exist and spec_from_file_location degrades into an opaque
+        # AttributeError, so check and say what's actually wrong (ADVICE
+        # r12).
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        spec = importlib.util.spec_from_file_location(
-            "__spark_entry__", os.path.join(root, "__spark_entry__.py")
-        )
+        entry_path = os.path.join(root, "__spark_entry__.py")
+        if not os.path.exists(entry_path):
+            print(
+                f"error: {entry_path} not found — the `entry` subcommand "
+                "needs the repo checkout (site-packages installs don't "
+                "carry __spark_entry__.py); run from the repo root",
+                file=sys.stderr,
+            )
+            return 1
+        spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         mod.entry(spark).show(args.show, truncate=False)

@@ -69,12 +69,45 @@ KAFKA_WIRE_SCHEMA = (
 STREAM_BUDGET_S = float(os.environ.get("SPARK_GRAFT_STREAM_BUDGET_S", "300"))
 
 
-#: When a list, every completed availableNow query appends its full
-#: per-micro-batch progress record here (scripts/audit_stream_state.py
+#: When a list, every completed availableNow query appends its
+#: per-micro-batch progress records here (scripts/audit_stream_state.py
 #: sets it to collect state-operator metrics — rows in state, watermark
 #: evictions, state memory — without touching the pipelines themselves).
 #: None (the default) is free: production runs never pay for collection.
+#: NOTE: ``q.recentProgress`` retains only the LAST
+#: ``spark.sql.streaming.numRecentProgressUpdates`` records (default
+#: 100) — not the full history. ``_capture_progress`` fails loudly when
+#: a capture lands at that cap (silent truncation would under-count a
+#: large fixture's input/state/eviction totals); the audit script raises
+#: the cap in its own session before running.
 PROGRESS_SINK: list | None = None
+
+
+def _capture_progress(q) -> None:
+    """Append ``q``'s micro-batch progress to PROGRESS_SINK (no-op when
+    the sink is None). Raises if the capture is truncated at Spark's
+    ``numRecentProgressUpdates`` retention cap — a capped capture means
+    the earliest batches' metrics are already gone and every total the
+    state audit derives from them would be silently wrong (ADVICE r13)."""
+    if PROGRESS_SINK is None:
+        return
+    prog = list(q.recentProgress)
+    spark = SparkSession.getActiveSession()
+    cap = int(
+        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+        if spark is not None
+        else 100
+    )
+    if len(prog) >= cap:
+        raise RuntimeError(
+            f"progress capture for streaming query {q.name or q.id} hit the "
+            f"retention cap ({len(prog)} >= numRecentProgressUpdates={cap}): "
+            "earlier micro-batches are already evicted and the state audit "
+            "would under-count; raise "
+            "spark.sql.streaming.numRecentProgressUpdates above the "
+            "fixture's micro-batch count"
+        )
+    PROGRESS_SINK.append({"query_id": str(q.id), "progress": prog})
 
 
 def _await_done(q) -> None:
@@ -94,8 +127,7 @@ def _await_done(q) -> None:
             f"{STREAM_BUDGET_S:.0f}s; raise SPARK_GRAFT_STREAM_BUDGET_S for "
             "large fixtures instead of reading a partial sink"
         )
-    if PROGRESS_SINK is not None:
-        PROGRESS_SINK.append({"query_id": str(q.id), "progress": list(q.recentProgress)})
+    _capture_progress(q)
 
 
 def _drain_and_stop(q) -> None:
@@ -107,10 +139,7 @@ def _drain_and_stop(q) -> None:
     reusable if the query instead raises."""
     try:
         q.processAllAvailable()
-        if PROGRESS_SINK is not None:
-            PROGRESS_SINK.append(
-                {"query_id": str(q.id), "progress": list(q.recentProgress)}
-            )
+        _capture_progress(q)
     finally:
         q.stop()
 

@@ -55,15 +55,27 @@ def _fetch_stages(app_id: str) -> list[dict]:
 
 
 def _stable_stages(app_id: str) -> dict[tuple[int, int], dict]:
-    """Poll until the completed-stage set stops growing (listener-bus lag)."""
-    prev: dict[tuple[int, int], dict] = {}
+    """Poll until the completed-stage set stops growing (listener-bus lag).
+
+    Stability = THREE consecutive identical snapshots, not two: a single
+    0.2 s gap in listener-bus/REST propagation between stage postings
+    would otherwise end polling early and silently attribute the missing
+    stages' shuffle bytes to the NEXT qid — masking a B/row breach while
+    inflating a neighbor's (ADVICE r12). An empty snapshot counts toward
+    stability like any other (the old ``prev and …`` guard could never
+    match the pre-first-query empty set, burning the full 10 s budget on
+    the baseline call).
+    """
+    prev: dict[tuple[int, int], dict] | None = None
+    streak = 0
     for _ in range(50):
         cur = {(s["stageId"], s["attemptId"]): s for s in _fetch_stages(app_id)}
-        if prev and set(cur) == set(prev):
+        streak = streak + 1 if prev is not None and set(cur) == set(prev) else 0
+        if streak >= 2:  # cur plus the two snapshots before it agree
             return cur
         prev = cur
         time.sleep(0.2)
-    return prev
+    return prev or {}
 
 
 def audit(spark, sf_dir: str, ids: list[str]) -> dict[str, dict[str, int]]:

@@ -76,13 +76,28 @@ def main() -> int:
         # audit must be able to raise the 300 s availableNow budget
         # (the sf100 sweep ran at 1800 s)
         i = argv.index("--stream-budget")
-        budget = float(argv[i + 1])
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: --stream-budget SECONDS (value missing)")
+        try:
+            budget = float(argv[i + 1])
+        except ValueError:
+            raise SystemExit(
+                f"usage: --stream-budget SECONDS (got {argv[i + 1]!r})"
+            ) from None
         del argv[i : i + 2]
         pipeline.STREAM_BUDGET_S = budget
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = argv[1:]
     spark = get_spark(app_name="mpbda-stream-state-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # recentProgress retains only the last numRecentProgressUpdates
+    # (default 100) records per query; availableNow plans ~one micro-batch
+    # per source file, so a large fixture would silently under-count
+    # input_rows/peak_state/evicted right when the sweep matters most
+    # (ADVICE r13 medium). Raise the cap far above any fixture's file
+    # count; pipeline._capture_progress additionally fails loudly if a
+    # capture ever lands at the cap.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     registry = all_queries()
     ids = only or [q for q in sorted(registry) if q.startswith("stream_")]
     out: dict[str, dict[str, int]] = {}

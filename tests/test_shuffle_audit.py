@@ -76,3 +76,85 @@ def test_shuffle_bytes_per_row_bounds(audit_result):
 def test_no_spill_at_gate_scale(audit_result):
     spilled = {q: r["spill"] for q, r in audit_result.items() if r["spill"]}
     assert not spilled, f"unexpected spill at sf0.01: {spilled}"
+
+
+# ---------------------------------------------------------------------------
+# The one measured B/row riser at sf100 (SCALING.md round-12 table:
+# `ext_dedup_simhash` 6.7 → 25.5 B/row at class depth 1000) is the
+# pigeonhole bucket join's id-list payload growing with CLASS DEPTH before
+# rep-collapse amortizes it — still digest-grain (the join itself runs over
+# ONE representative row per distinct simhash; the 2.8e9-pair sf100
+# expansion is pinned closed-form in test_sf100_invariants). The two pins
+# below make a regression PAST digest grain fail loudly without the REST
+# audit: (a) the optimized plan must collapse to reps (Aggregate) on BOTH
+# sides BELOW the bucket join — losing that turns the join into depth²
+# candidate work; (b) on a depth-stress corpus the expanded output must
+# match the closed form derived from the 40 class simhashes exactly.
+# ---------------------------------------------------------------------------
+
+
+def _subtree_has_n_aggregates(plan: str, node_substr: str, n: int) -> bool:
+    """True if every plan line containing ``node_substr`` has ≥ ``n``
+    Aggregate nodes strictly inside its subtree (deeper indentation)."""
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-":
+            i += 1
+        return i
+
+    found_any = False
+    for i, line in enumerate(lines):
+        if node_substr not in line:
+            continue
+        found_any = True
+        d = depth(line)
+        aggs = 0
+        for sub in lines[i + 1 :]:
+            if depth(sub) <= d:
+                break
+            if "Aggregate" in sub:
+                aggs += 1
+        if aggs < n:
+            return False
+    return found_any
+
+
+def test_simhash_depth_stress_join_is_rep_grain(spark):
+    import pyspark.sql.functions as F
+
+    from mini_project_big_data_analysis_spark.operators import dedup
+
+    n_classes, depth = 40, 75
+    docs = spark.range(n_classes * depth).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("depth stress class body text "),
+            (F.col("id") % n_classes).cast("string"),
+        ).alias("text"),
+    )
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+    # (a) structural: the bucket join happens over reps, not documents —
+    # both join subtrees contain the simhash group-collapse Aggregate
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert _subtree_has_n_aggregates(plan, "Join", 2), plan
+
+    # (b) closed form, derived from the class simhashes themselves (the
+    # 40-row collect is the class dimension, not the corpus)
+    sigs = [
+        r["s"]
+        for r in docs.filter(F.col("doc_id") < n_classes)
+        .select(dedup.simhash64(F.col("text")).alias("s"))
+        .collect()
+    ]
+    assert len(set(sigs)) == n_classes  # fixture precondition: distinct classes
+    cross_classes = sum(
+        1
+        for i in range(n_classes)
+        for j in range(i + 1, n_classes)
+        if bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1") <= 3
+    )
+    expected = n_classes * depth * (depth - 1) // 2 + cross_classes * depth * depth
+    assert pairs.count() == expected
