@@ -563,3 +563,111 @@ def ext_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["c_nationkey"],
         max_dist=_ENTITY_MAX_DIST,
     ).withColumnsRenamed({"dist": "name_dist"})
+
+
+# ---------------------------------------------------------------------------
+# ext_graph_communities — bounded-round synchronous label propagation
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 8
+_LPA_CKPT_EVERY = 4
+
+
+def _lpa_oracle() -> str:
+    edges = " UNION ALL ".join(
+        _PR_EDGES_SQL.format(a=a, b=b) for a, b in [(31, 7), (57, 13), (91, 3)]
+    )
+    # Same AS MATERIALIZED discipline as _bfs_oracle: every l{i} references
+    # its predecessor twice (kept labels ∪ propagated labels), so an
+    # inlined chain would expand 2^8 copies of the base scan.
+    sql = f"""
+WITH edges_raw AS ({edges}),
+directed AS MATERIALIZED (
+    SELECT e.src, e.dst FROM edges_raw e
+    JOIN documents t ON t.doc_id = e.dst
+),
+und AS MATERIALIZED (
+    SELECT src, dst FROM directed
+    UNION
+    SELECT dst AS src, src AS dst FROM directed
+),
+l0 AS MATERIALIZED (
+    SELECT doc_id, doc_id AS label FROM documents
+)"""
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        sql += f""",
+l{i} AS MATERIALIZED (
+    SELECT doc_id, min(label)::BIGINT AS label FROM (
+        SELECT doc_id, label FROM {prev}
+        UNION ALL
+        SELECT u.dst AS doc_id, l.label AS label
+        FROM und u JOIN {prev} l ON l.doc_id = u.src
+    ) x GROUP BY doc_id
+)"""
+        prev = f"l{i}"
+    sql += f"""
+SELECT doc_id, label AS community FROM {prev}
+"""
+    return sql
+
+
+@register("ext_graph_communities", _lpa_oracle())
+def ext_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by bounded-round synchronous min-label
+    propagation (8 rounds) over the UNDIRECTED citation graph — the
+    deterministic LPA variant: every node starts as its own label and each
+    round adopts min(own label, neighbor labels). After k rounds each
+    node carries the smallest id within graph distance k — converged
+    components where the diameter is under k, "radius-k communities"
+    elsewhere; the fixed round count is what keeps the result (and the
+    oracle) deterministic where classic argmax-frequency LPA is
+    tie-break-chaotic. Completes the iterative-graph family
+    (pagerank k=3, BFS k=15, this id k=8 with a DIFFERENT per-round
+    operator: label min over a symmetrized edge set).
+
+    Iterative shape on Spark (the `ext_dedup_components` /
+    `ext_graph_bfs_depth` machinery): the symmetrized edge list is built
+    ONCE, repartitioned on the join key and eagerly localCheckpoint'd;
+    each round is one shuffle join (labels ⋈ edges) + one min hash-agg;
+    the label table is localCheckpoint'd every _LPA_CKPT_EVERY rounds to
+    cut the growing lineage (uncheckpointed k=15 BFS DNF'd in 9 min —
+    same failure class). Labels stay BIGINT end-to-end, so the oracle
+    compare is exact. At 100 TB the edge build is one shuffle, each round
+    shuffles label-grain rows (8 B ids + 8 B labels — digest-tier), and
+    the round count is a constant: total cost is k × (join + agg) with
+    flat lineage."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_df = docs.agg(F.count(F.lit(1)).alias("cnt"))
+    edges_raw = None
+    for a, b in [(31, 7), (57, 13), (91, 3)]:
+        e = docs.join(F.broadcast(n_df)).select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % F.col("cnt")).alias("dst"),
+        )
+        edges_raw = e if edges_raw is None else edges_raw.unionByName(e)
+    directed = edges_raw.join(
+        docs.select(F.col("doc_id").alias("dst")), "dst"
+    ).select("src", "dst")
+    und = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for i in range(1, _LPA_ITERS + 1):
+        prop = und.join(labels.withColumnRenamed("doc_id", "src"), "src").select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+        if i % _LPA_CKPT_EVERY == 0 and i < _LPA_ITERS:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("doc_id", F.col("label").alias("community"))

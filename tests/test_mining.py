@@ -171,3 +171,42 @@ def test_bfs_depth_unreachable_absent(spark, tmp_path):
     out = ext_graph_bfs_depth(spark, d)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["doc_id", "dist"]
+
+
+def test_graph_communities_exact_lpa_semantics(spark, sf_dir):
+    """`ext_graph_communities` against a pure-Python recompute of the
+    declared semantics (8 SYNCHRONOUS min-label rounds over the
+    symmetrized citation graph) — independent of both the SQL oracle and
+    the Spark plan, so a checkpoint that silently truncated a round, a
+    missed reverse edge, or async (in-round) propagation fails here with
+    the first diverging node named."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+    from mini_project_big_data_analysis_spark.queries.base import load
+
+    rows = all_queries()["ext_graph_communities"].fn(spark, sf_dir).collect()
+    got = {r.doc_id: r.community for r in rows}
+
+    doc_ids = [
+        r.doc_id for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    n = len(doc_ids)
+    present = set(doc_ids)
+    adj: dict[int, set[int]] = {i: set() for i in doc_ids}
+    for src in doc_ids:
+        for a, b in [(31, 7), (57, 13), (91, 3)]:
+            dst = (src * a + b) % n
+            if dst in present and dst != src:
+                adj[src].add(dst)
+                adj[dst].add(src)
+    labels = {i: i for i in doc_ids}
+    for _ in range(8):
+        labels = {
+            i: min([labels[i]] + [labels[j] for j in adj[i]]) for i in doc_ids
+        }
+    diverging = {i for i in doc_ids if got.get(i) != labels[i]}
+    assert not diverging, (
+        f"{len(diverging)} nodes diverge, first: "
+        f"{(d := min(diverging))} got={got.get(d)} want={labels[d]}"
+    )
+    # the fixture graph actually merges labels (the id is not a rename)
+    assert len(set(labels.values())) < n
