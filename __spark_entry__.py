@@ -29,86 +29,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def coverage_rotation() -> list[str]:
-    """Driver correctness-coverage rotation for THIS round (round 13).
+    """Driver correctness-coverage rotation for THIS round (round 14).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
-    iteration order each round, so with 242 registered ids only a rotating
+    iteration order each round, so with 243 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly, executing the plan
-    pre-written in COVERAGE_ROTATION.md at the end of round 12:
+    pre-written in COVERAGE_ROTATION.md at the end of round 13:
 
-    1. The round-12 debut ``ext_graph_bfs_depth`` (never driver-checked;
-       standing policy puts debuts at the head).
-    2. The 4 rows-only-contract ids' ONE scheduled driver rows>0 slot
-       (``agg_quartiles_approx ext_compression_ratio ext_sim_ann
-       ext_sim_ivf`` — no oracle by declared contract, quantitative pins
-       stay in pytest; after this round they return to never consuming a
-       strong-check slot).
-    3. The 36 alphabetically-first remaining round-8-stale ids
-       (``window_nth_value`` is pushed to round 14 by the debut).
-    4. The alphabetically-first 9 round-9-stale ids.
+    0. The round-13 debut ``ext_graph_communities`` (the one registered id
+       with zero driver rows; standing policy puts debuts at the head).
+    1. The round-8 holdover ``window_nth_value`` (displaced from round 13
+       by that round's debut — the stalest verified id in the catalog).
+    2. The 41 remaining round-9-stale ids, alphabetical.
+    3. The alphabetically-first 7 round-10-stale ids
+       (``ext_data_quality`` is pushed to round 15 by the debut).
 
-    See COVERAGE_ROTATION.md's round-14 plan for the pre-written next
+    See COVERAGE_ROTATION.md's round-15 plan for the pre-written next
     window.
     """
-    debut = ["ext_graph_bfs_depth"]
-    rows_only_slot = [
-        "agg_quartiles_approx",
-        "ext_compression_ratio",
-        "ext_sim_ann",
-        "ext_sim_ivf",
-    ]
-    round8_stalest = [
-        "ext_ab_power",
-        "ext_basket_lift",
-        "ext_benford_audit",
-        "ext_changepoint_meanshift",
-        "ext_cohort_ltv",
-        "ext_dedup_components",
-        "ext_dedup_editdist",
-        "ext_dedup_exact",
-        "ext_dedup_fingerprint",
-        "ext_dedup_incremental",
-        "ext_dedup_keep_best",
-        "ext_dedup_ngram",
-        "ext_dedup_simhash",
-        "ext_emb_neardup",
-        "ext_embed_centroids",
-        "ext_graph_degree_dist",
-        "ext_lang_confusion",
-        "ext_multimodal_chunks",
-        "ext_multimodal_features",
-        "ext_multimodal_meta",
-        "ext_percentile_bands",
-        "ext_pipeline_e2e",
-        "ext_psi_stability",
-        "ext_quality_gate",
-        "ext_rank_normalize",
-        "ext_sample_pps",
-        "ext_seasonality_index",
-        "ext_sim_topk",
-        "ext_smoothed_rates",
-        "ext_user_rfm",
-        "ext_vocab_growth",
-        "fn_regex_extract",
-        "join_bucketed",
-        "stream_clean_sink",
-        "stream_stateful_stats",
-        "stream_weather_pipeline",
-    ]
+    debut = ["ext_graph_communities"]
+    round8_holdover = ["window_nth_value"]
     round9_stalest = [
-        "agg_cached_dashboard",
-        "agg_udaf_geomean",
-        "ext_bm25_search",
-        "ext_cdc_merge",
-        "ext_dedup_url",
-        "ext_doc_chunk",
-        "ext_paragraph_dedup",
-        "ext_repetition_stats",
-        "ext_scd2_dim",
+        "ext_semdedup",
+        "ext_split_leakage",
+        "ext_tfidf_topterms",
+        "ext_unigram_logprob",
+        "filt_empty_guard",
+        "filt_isin",
+        "filt_not_null",
+        "filt_ts_range",
+        "flagship_region_hourly_stats",
+        "fn_array_first_field",
+        "fn_cast_round",
+        "fn_dim_lookup",
+        "fn_epoch_to_ts",
+        "fn_json_parse_polymorphic",
+        "fn_map_wordcounts",
+        "fn_string_strip",
+        "fn_try_cast",
+        "fn_ts_add_offset",
+        "fn_ts_format",
+        "fn_ts_parse",
+        "fn_url_extract",
+        "join_broadcast_dim",
+        "join_dpp_partitioned",
+        "join_inner_equi",
+        "join_left_anti",
+        "join_left_semi",
+        "join_outer",
+        "limit_head",
+        "proj_nested_extract",
+        "proj_rename",
+        "proj_select_cols",
+        "proj_unpivot",
+        "sql_tpch_q10",
+        "sql_tpch_q18",
+        "sql_tpch_q21",
+        "src_text_roundtrip",
+        "stream_dedup",
+        "stream_fanout_sinks",
+        "stream_static_enrich",
+        "window_cume_dist",
+        "window_range_frame",
     ]
-    return debut + rows_only_slot + round8_stalest + round9_stalest
+    round10_stalest = [
+        "agg_cube",
+        "agg_quartiles_exact",
+        "agg_rollup",
+        "agg_session_window",
+        "agg_sliding_window",
+        "ext_ab_zscore",
+        "ext_attribution_lasttouch",
+    ]
+    return debut + round8_holdover + round9_stalest + round10_stalest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -165,7 +165,7 @@ def stream_weather_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("complete")
         .start()
     )
-    _drain_and_stop(q)
+    _drain_and_stop(q, spark)
     return spark.table(name)
 
 

@@ -83,21 +83,23 @@ STREAM_BUDGET_S = float(os.environ.get("SPARK_GRAFT_STREAM_BUDGET_S", "300"))
 PROGRESS_SINK: list | None = None
 
 
-def _capture_progress(q) -> None:
+def _capture_progress(q, spark: SparkSession) -> None:
     """Append ``q``'s micro-batch progress to PROGRESS_SINK (no-op when
     the sink is None). Raises if the capture is truncated at Spark's
     ``numRecentProgressUpdates`` retention cap — a capped capture means
     the earliest batches' metrics are already gone and every total the
-    state audit derives from them would be silently wrong (ADVICE r13)."""
+    state audit derives from them would be silently wrong (ADVICE r13).
+
+    ``spark`` is the session that STARTED ``q`` (threaded in by the
+    runners) — the retention cap in effect for ``q.recentProgress`` lives
+    there, not in whatever ``getActiveSession()`` resolves on the calling
+    thread; the previous active-session lookup could fall back to the
+    100 default and falsely raise on an audit run that had already lifted
+    the cap (ADVICE r14)."""
     if PROGRESS_SINK is None:
         return
     prog = list(q.recentProgress)
-    spark = SparkSession.getActiveSession()
-    cap = int(
-        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
-        if spark is not None
-        else 100
-    )
+    cap = int(spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100"))
     if len(prog) >= cap:
         raise RuntimeError(
             f"progress capture for streaming query {q.name or q.id} hit the "
@@ -110,7 +112,7 @@ def _capture_progress(q) -> None:
     PROGRESS_SINK.append({"query_id": str(q.id), "progress": prog})
 
 
-def _await_done(q) -> None:
+def _await_done(q, spark) -> None:
     """Block until an availableNow query terminates, failing LOUDLY on
     budget exhaustion. The previous inline ``q.awaitTermination(300)``
     ignored the boolean result, so a query still running at the deadline
@@ -127,10 +129,10 @@ def _await_done(q) -> None:
             f"{STREAM_BUDGET_S:.0f}s; raise SPARK_GRAFT_STREAM_BUDGET_S for "
             "large fixtures instead of reading a partial sink"
         )
-    _capture_progress(q)
+    _capture_progress(q, spark)
 
 
-def _drain_and_stop(q) -> None:
+def _drain_and_stop(q, spark) -> None:
     """``processAllAvailable`` + ``stop`` for the paced (non-availableNow)
     runners, with the same progress capture as ``_await_done`` so the
     state audit sees the multi-batch ids too. processAllAvailable blocks
@@ -139,7 +141,7 @@ def _drain_and_stop(q) -> None:
     reusable if the query instead raises."""
     try:
         q.processAllAvailable()
-        _capture_progress(q)
+        _capture_progress(q, spark)
     finally:
         q.stop()
 
@@ -295,7 +297,7 @@ def run_tumbling_agg_availablenow(
         .trigger(availableNow=True)
         .start()
     )
-    _await_done(q)
+    _await_done(q, spark)
     return spark.table(name)
 
 
@@ -332,7 +334,7 @@ def run_clean_to_parquet_availablenow(
         .trigger(availableNow=True)
         .start()
     )
-    _await_done(q)
+    _await_done(q, spark)
     return _read_sink_or_empty(spark, path, "event_id long, user_id long, event_type string, value double")
 
 
@@ -384,7 +386,7 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    _await_done(q)
+    _await_done(q, spark)
     return _read_sink_or_empty(
         spark, path, "event_id long, user_id long, event_type string, nation string"
     )
@@ -429,7 +431,7 @@ def run_fanout_sinks_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    _await_done(q)
+    _await_done(q, spark)
     a = _read_sink_or_empty(spark, path_a, "event_id long, user_id long, event_type string, value double").withColumn("sink", F.lit("archive"))
     b = _read_sink_or_empty(spark, path_b, "event_id long, user_id long, event_type string, value double").withColumn("sink", F.lit("serving"))
     return a.unionByName(b)
@@ -519,7 +521,7 @@ def run_stream_dedup_availablenow(
         .trigger(availableNow=True)
         .start()
     )
-    _await_done(q)
+    _await_done(q, spark)
     return _read_sink_or_empty(spark, path, "event_id long, user_id long, event_type string, value double")
 
 
@@ -623,7 +625,7 @@ def run_stateful_running_stats(
         .trigger(availableNow=True)
         .start()
     )
-    _await_done(q)
+    _await_done(q, spark)
     emissions = spark.table(name)
     # final emission per key = the complete running totals (strong-oracle
     # shape regardless of how the source split micro-batches)
@@ -704,7 +706,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    _await_done(q)
+    _await_done(q, spark)
     return _read_sink_or_empty(
         spark, path, "click_id long, purchase_id long, user_id long, gap_s long"
     )
@@ -804,7 +806,7 @@ def run_multibatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(base, "ck"))
         .start()
     )
-    _drain_and_stop(q)
+    _drain_and_stop(q, spark)
     return spark.table(name).filter(F.col("event_type") != "sentinel")
 
 
@@ -917,7 +919,7 @@ def run_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(base, "ck"))
         .start()
     )
-    _drain_and_stop(q)
+    _drain_and_stop(q, spark)
     return _read_sink_or_empty(
         spark, sink, "event_id long, user_id long, ts_s string, value double"
     )
@@ -996,7 +998,7 @@ def run_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(base, "ck"))
         .start()
     )
-    _drain_and_stop(q)
+    _drain_and_stop(q, spark)
     return store.read_all().select(
         "user_id",
         "event_id",
@@ -1147,7 +1149,7 @@ def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(base, "ck"))
         .start()
     )
-    _drain_and_stop(q)
+    _drain_and_stop(q, spark)
     return _read_sink_or_empty(
         spark, sink, "event_id long, user_id long, ts_s string, value double"
     )
@@ -1192,7 +1194,7 @@ def run_sliding_agg_availablenow(
         .trigger(availableNow=True)
         .start()
     )
-    _await_done(q)
+    _await_done(q, spark)
     return spark.table(name)
 
 
@@ -1237,7 +1239,7 @@ def run_session_agg_availablenow(
         .trigger(availableNow=True)
         .start()
     )
-    _await_done(q)
+    _await_done(q, spark)
     return _read_sink_or_empty(
         spark,
         path,

@@ -75,7 +75,19 @@ def _stable_stages(app_id: str) -> dict[tuple[int, int], dict]:
             return cur
         prev = cur
         time.sleep(0.2)
-    return prev or {}
+    # Budget exhausted without 3 identical snapshots: the REST endpoint is
+    # still churning (or degraded), so the snapshot below may be missing
+    # stages whose bytes would then be misattributed to the NEXT qid — the
+    # same silent-misattribution failure the 3-snapshot rule exists to
+    # catch, just at a longer lag (ADVICE r14). Fail loudly instead of
+    # folding the gap into a neighbor's B/row.
+    raise RuntimeError(
+        f"stage snapshot for app {app_id} never stabilized within the "
+        "50x0.2s poll budget (completed-stage set kept changing); the Spark "
+        "UI REST endpoint is lagging or degraded — re-run the audit, or "
+        "raise the poll budget, rather than accepting a snapshot that "
+        "would misattribute shuffle bytes across qids"
+    )
 
 
 def audit(spark, sf_dir: str, ids: list[str]) -> dict[str, dict[str, int]]:

@@ -58,7 +58,18 @@ def main() -> int:
         from mini_project_big_data_analysis_spark.streaming import pipeline
 
         pipeline.STREAM_BUDGET_S = stream_budget
+    if "--help" in argv or "-h" in argv:
+        print(__doc__)
+        return 0
+    unknown = [a for a in argv if a.startswith("-")]
+    if unknown:
+        raise SystemExit(f"unknown flag(s) {unknown}\n{__doc__}")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        # Positional sf_dir validated up front: a typo'd flag or missing
+        # fixture dir previously surfaced as an IOError on
+        # `<arg>/region.parquet` deep inside the first query (VERDICT r13).
+        raise SystemExit(f"sf_dir {sf_dir!r} is not a directory\n{__doc__}")
     only = set(argv[1:])
     # The compare collects both result sets driver-side; sf100-tier bulk
     # compares (5M-row × array columns) overflow the 1g default
