@@ -114,6 +114,67 @@ def test_aqe_coalesces_overpartitioned_shuffle(_aqe, sf_dir):
     )
 
 
+def test_aqe_splits_skewed_join_partitions(_aqe):
+    """The third runtime-stats correction AQE owes the 100 TB posture
+    (after the broadcast flip and the coalesce): a hash-partitioned join
+    whose key distribution concentrates most rows in one reducer must get
+    that partition SPLIT across tasks from actual map-output sizes —
+    ``SortMergeJoin(skew=true)`` over an ``AQEShuffleRead … skewed``.
+    ``session.get_spark`` turns ``skewJoin.enabled`` on; this pins that
+    the rule actually fires (thresholds scaled to the 1,000-row fixture —
+    the detector compares actual partition bytes against
+    max(factor×median, threshold), so production defaults would read this
+    tiny fixture as uniform)."""
+    spark = _aqe
+    saved = {}
+    for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ):
+        try:
+            saved[k] = spark.conf.get(k)  # None for unset optional confs
+        except Exception:
+            saved[k] = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "100")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "800"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "800")
+        # a quarter of each side's keys collapse onto one value — the
+        # shape of a hub key / null-like sentinel in a real join
+        d1 = spark.range(0, 1000, 1, 10).select(
+            F.when(F.col("id") < 250, F.lit(249))
+            .when(F.col("id") >= 750, F.lit(1000))
+            .otherwise(F.col("id"))
+            .alias("key1"),
+            F.col("id").alias("value1"),
+        )
+        d2 = spark.range(0, 1000, 1, 10).select(
+            F.when(F.col("id") < 250, F.lit(249)).otherwise(F.col("id")).alias("key2"),
+            F.col("id").alias("value2"),
+        )
+        j = d1.join(d2, F.col("key1") == F.col("key2")).select("key1", "value2")
+        plan = _final_plan(j)
+        assert "skew=true" in plan, (
+            "AQE did not split the skewed join partition:\n" + plan
+        )
+        assert "skewed" in plan.split("== Initial Plan ==")[0], plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_estimate_audit_report_is_coherent(_aqe, sf_dir):
     """The audit tool's record on a registered catalog query: final plan
     adaptive, actual rows positive, estimate fields present — and honest:
