@@ -5,7 +5,7 @@ size estimates with real shuffle statistics; these tests pin that the
 correction machinery actually fires under this repo's session config —
 that runtime actuals, not paper estimates, pick the physical strategy.
 
-Three pins:
+The pins:
 
 1. A join whose static estimate forbids broadcast (threshold -1) but whose
    ACTUAL filtered build side is tiny flips SortMergeJoin →
@@ -167,6 +167,90 @@ def test_aqe_splits_skewed_join_partitions(_aqe):
             "AQE did not split the skewed join partition:\n" + plan
         )
         assert "skewed" in plan.split("== Initial Plan ==")[0], plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side_rows(_aqe, sf_dir):
+    """The fourth runtime-stats correction (after the broadcast flip, the
+    coalesce, and the skew split): runtime row-level filtering. When a
+    shuffle join's build side carries a selective filter, Spark injects a
+    ``bloom_filter_agg`` over the build keys and a ``might_contain`` guard
+    on the probe side, so fact rows that cannot match die BEFORE the
+    shuffle instead of crossing the wire to be dropped by the join — at
+    100 TB that is the difference between shuffling the full fact table
+    and shuffling the ~matching fraction.
+
+    The feature is size-gated to exactly cluster scale
+    (``applicationSideScanSizeThreshold`` = 10 GB by default, so a
+    sf0.01 fixture scan never qualifies); the pin first documents that
+    gate, then lowers it to simulate the ≥10 GB fact scan and asserts
+    (a) the injection appears in the optimized plan, (b) the plan still
+    executes to completion adaptively, and (c) the result multiset is
+    identical with the rewrite disabled — the filter is a pure pruning
+    overlay, never a semantics change."""
+    spark = _aqe
+    saved = {}
+    for k in (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+
+    def build():
+        # fresh Dataset per pass (same staleness rule as the flip test)
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        return lineitem.join(
+            urgent, lineitem.l_orderkey == urgent.o_orderkey
+        ).select("l_orderkey", "l_quantity", "o_orderpriority")
+
+    try:
+        # bloom filters only pay on shuffle joins — with a broadcast join
+        # the probe side never shuffles, so force SMJ like a 100 TB × 1 TB
+        # join where neither side broadcasts
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ) == "true", "runtime bloom filtering should be on in this session"
+
+        # production gate: a fixture-sized fact scan is below the 10 GB
+        # application-side threshold, so no injection — the feature is
+        # reserved for scans big enough that pruning beats filter cost
+        gated = build()._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" not in gated, (
+            "bloom injection fired below the 10 GB scan gate:\n" + gated
+        )
+
+        # simulate the ≥10 GB fact scan: drop the gate, keep everything else
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            "0",
+        )
+        injected = build()
+        opt = injected._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt and "might_contain" in opt, (
+            "runtime bloom filter was not injected:\n" + opt
+        )
+        plan = _final_plan(injected)
+        assert "BroadcastHashJoin" not in plan  # stayed a shuffle join
+        with_bloom = sorted(map(tuple, injected.collect()))
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without = sorted(map(tuple, build().collect()))
+        assert with_bloom == without, "bloom pruning changed the result set"
     finally:
         for k, v in saved.items():
             if v is None:
