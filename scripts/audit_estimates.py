@@ -22,6 +22,11 @@ AQE finalizes once real shuffle statistics exist:
   (None without CBO statistics — recorded so the report is honest about
   WHICH signal static planning had).
 - ``actual_rows``:    true result cardinality.
+- ``bloom_at_scale``: whether the plan gains a runtime bloom-filter
+  ``might_contain`` guard once the fact-side scan crosses the 10 GB
+  application-side gate (derived plan-only with the gate dropped; the
+  creation-side gate stays at its production default) — i.e. which joins
+  get row-level shuffle pruning for free at cluster scale.
 
 Usage: python scripts/audit_estimates.py [sf_dir] [query_id ...]
 
@@ -92,9 +97,26 @@ def audit_one(spark, fn, sf_dir: str) -> dict:
     actual_rows = len(df.collect())
     final_plan = qe.executedPlan().toString()
 
+    # Forward-looking: would this plan gain runtime bloom-filter row
+    # pruning at cluster scale? The rewrite is size-gated to fact scans
+    # ≥ 10 GB (applicationSideScanSizeThreshold), which no local fixture
+    # crosses — dropping the gate for ONE plan derivation (never executed)
+    # shows where `might_contain` guards land once the data is big enough
+    # to qualify. The creation-side gate stays at its production default,
+    # so "eligible" still requires a genuinely small, filtered build side.
+    gate = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    saved_gate = spark.conf.get(gate)
+    spark.conf.set(gate, "0")
+    try:
+        scale_opt = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.set(gate, saved_gate)
+    bloom_at_scale = "might_contain" in scale_opt
+
     static_joins = _join_counts(static_plan)
     final_joins = _join_counts(final_plan)
     return {
+        "bloom_at_scale": bloom_at_scale,
         "est_size_bytes": est_size,
         "est_rows": est_rows,
         "actual_rows": actual_rows,
@@ -125,7 +147,7 @@ def main() -> int:
         print(
             f"# {qid}: est_size={rec['est_size_bytes']:,}B est_rows={rec['est_rows']} "
             f"actual_rows={rec['actual_rows']:,} flips={flips} "
-            f"coalesced={rec['coalesced']}",
+            f"coalesced={rec['coalesced']} bloom_at_scale={rec['bloom_at_scale']}",
             file=sys.stderr,
         )
     print(json.dumps(report))

@@ -274,6 +274,7 @@ def test_estimate_audit_report_is_coherent(_aqe, sf_dir):
 
     rec = audit_one(_aqe, all_queries()["join_inner_equi"].fn, sf_dir)
     assert rec["final_is_adaptive"]
+    assert isinstance(rec["bloom_at_scale"], bool)
     assert rec["actual_rows"] > 0
     assert rec["est_size_bytes"] > 0
     assert rec["est_rows"] is None  # no CBO stats on raw parquet reads
