@@ -31,6 +31,14 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
     the same entry point serves tests (local[2]) and bench (local[32]).
     On a real cluster the caller passes no master and spark-submit decides.
+
+    Concurrency contract (tests/test_concurrency.py): one session may run
+    any number of catalog queries concurrently against the SAME dataset;
+    concurrent callers over DIFFERENT datasets must each take
+    ``spark.newSession()`` — the SQL ids register unqualified temp views
+    (``lineitem`` etc.) whose namespace is the session, so a shared session
+    is last-writer-wins across datasets. Engine conf is set at BUILDER
+    level below precisely so child sessions inherit the 100 TB posture.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -27,3 +27,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def sf_dir_mid() -> str:
+    """The next fixture size up — for tests that need TWO datasets whose
+    results visibly differ (e.g. the session-isolation pins)."""
+    return "/root/testdata/sf0.01"
