@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# One-command local round gate — the four checks every round must pass,
+# in fail-fast order (cheapest diagnostic first). Mirrors what the external
+# driver grades: pytest (operator semantics), the DuckDB differential at
+# the driver's sf (correctness gate), the catalog-wide plan audit (scale
+# shapes), and the headline bench (BASELINE.md comparison line).
+#
+# Usage: scripts/round_gate.sh [sf_dir]        (default /root/testdata/sf0.01)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF_DIR="${1:-/root/testdata/sf0.01}"
+
+echo "== 1/4 pytest =="
+python -m pytest tests/ -x -q
+
+echo "== 2/4 DuckDB differential @ ${SF_DIR} =="
+python scripts/check_queries.py "${SF_DIR}"
+
+echo "== 3/4 plan audit (expect flagged=0) =="
+python scripts/audit_plans.py "${SF_DIR}"
+
+echo "== 4/4 headline bench (compare vs BASELINE.md; full tier -> BENCH_FULL.json) =="
+python bench.py
+
+echo "== round gate: ALL GREEN =="
