@@ -29,81 +29,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def coverage_rotation() -> list[str]:
-    """Driver correctness-coverage rotation for THIS round (round 14).
+    """Driver correctness-coverage rotation for THIS round (round 15).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
     iteration order each round, so with 243 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly, executing the plan
-    pre-written in COVERAGE_ROTATION.md at the end of round 13:
+    pre-written in COVERAGE_ROTATION.md at the end of round 14 (pure
+    stalest-first; no debuts pending):
 
-    0. The round-13 debut ``ext_graph_communities`` (the one registered id
-       with zero driver rows; standing policy puts debuts at the head).
-    1. The round-8 holdover ``window_nth_value`` (displaced from round 13
-       by that round's debut — the stalest verified id in the catalog).
-    2. The 41 remaining round-9-stale ids, alphabetical.
-    3. The alphabetically-first 7 round-10-stale ids
-       (``ext_data_quality`` is pushed to round 15 by the debut).
+    1. The 43 remaining round-10-stale ids, alphabetical (headed by
+       ``ext_data_quality``, displaced from round 14 by that round's
+       debut).
+    2. The alphabetically-first 7 round-11-stale ids.
 
-    See COVERAGE_ROTATION.md's round-15 plan for the pre-written next
+    See COVERAGE_ROTATION.md's round-16 plan for the pre-written next
     window.
     """
-    debut = ["ext_graph_communities"]
-    round8_holdover = ["window_nth_value"]
-    round9_stalest = [
-        "ext_semdedup",
-        "ext_split_leakage",
-        "ext_tfidf_topterms",
-        "ext_unigram_logprob",
-        "filt_empty_guard",
-        "filt_isin",
-        "filt_not_null",
-        "filt_ts_range",
-        "flagship_region_hourly_stats",
-        "fn_array_first_field",
-        "fn_cast_round",
-        "fn_dim_lookup",
-        "fn_epoch_to_ts",
-        "fn_json_parse_polymorphic",
-        "fn_map_wordcounts",
-        "fn_string_strip",
-        "fn_try_cast",
-        "fn_ts_add_offset",
-        "fn_ts_format",
-        "fn_ts_parse",
-        "fn_url_extract",
-        "join_broadcast_dim",
-        "join_dpp_partitioned",
-        "join_inner_equi",
-        "join_left_anti",
-        "join_left_semi",
-        "join_outer",
-        "limit_head",
-        "proj_nested_extract",
-        "proj_rename",
-        "proj_select_cols",
-        "proj_unpivot",
-        "sql_tpch_q10",
-        "sql_tpch_q18",
-        "sql_tpch_q21",
-        "src_text_roundtrip",
-        "stream_dedup",
-        "stream_fanout_sinks",
-        "stream_static_enrich",
-        "window_cume_dist",
-        "window_range_frame",
-    ]
     round10_stalest = [
-        "agg_cube",
-        "agg_quartiles_exact",
-        "agg_rollup",
-        "agg_session_window",
-        "agg_sliding_window",
-        "ext_ab_zscore",
-        "ext_attribution_lasttouch",
+        "ext_data_quality",
+        "ext_dataset_mix",
+        "ext_decontaminate",
+        "ext_dedup_fuzzy",
+        "ext_doc_len_histogram",
+        "ext_doc_winnow",
+        "ext_domain_cap",
+        "ext_domain_stats",
+        "ext_dup_cluster_stats",
+        "ext_entity_match",
+        "ext_token_budget_mix",
+        "setop_intersect",
+        "setop_union_all",
+        "snk_append_write",
+        "snk_compact_small_files",
+        "snk_json_roundtrip",
+        "snk_partitioned_write",
+        "snk_time_travel",
+        "sort_order_by",
+        "sql_tpch_q2",
+        "sql_tpch_q4",
+        "sql_tpch_q7",
+        "sql_tpch_q8",
+        "sql_tpch_q9",
+        "sql_tpch_q11",
+        "sql_tpch_q12",
+        "sql_tpch_q13",
+        "sql_tpch_q14",
+        "sql_tpch_q15",
+        "sql_tpch_q16",
+        "sql_tpch_q17",
+        "sql_tpch_q19",
+        "sql_tpch_q20",
+        "sql_tpch_q22",
+        "src_json_corrupt",
+        "src_json_scan",
+        "src_orc_roundtrip",
+        "src_parquet_scan",
+        "src_python_datasource",
+        "src_table_scan",
+        "stream_multibatch_agg",
+        "stream_stream_join",
+        "window_gap_islands",
     ]
-    return debut + round8_holdover + round9_stalest + round10_stalest
+    round11_stalest = [
+        "agg_bitmap_distinct",
+        "agg_bool_aggregates",
+        "agg_filter_clause",
+        "agg_histogram_equiwidth",
+        "agg_listagg",
+        "agg_mode_deterministic",
+        "ext_ab_srm_check",
+    ]
+    return round10_stalest + round11_stalest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -8,7 +8,8 @@ import pytest
 
 from mini_project_big_data_analysis_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_BASE = "/root/testdata"
+SF_DIR = f"{SF_BASE}/sf0.001"
 
 
 @pytest.fixture(scope="session")
@@ -33,4 +34,4 @@ def sf_dir() -> str:
 def sf_dir_mid() -> str:
     """The next fixture size up — for tests that need TWO datasets whose
     results visibly differ (e.g. the session-isolation pins)."""
-    return "/root/testdata/sf0.01"
+    return f"{SF_BASE}/sf0.01"

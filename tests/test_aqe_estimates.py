@@ -39,10 +39,9 @@ def _aqe(spark):
     }
     saved = {}
     for k, v in touched.items():
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
+        # contains() = explicitly set on this session; a bare get() would
+        # resolve defaults/fallbacks and the restore would pin them
+        saved[k] = spark.conf.get(k) if spark.conf._jconf.contains(k) else None
         if v is not None:
             spark.conf.set(k, v)
     yield spark
@@ -135,10 +134,9 @@ def test_aqe_splits_skewed_join_partitions(_aqe):
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
     ):
-        try:
-            saved[k] = spark.conf.get(k)  # None for unset optional confs
-        except Exception:
-            saved[k] = None
+        # contains() = explicitly set; None → restore takes the unset path
+        # so resolved defaults/fallbacks are never pinned (ADVICE r14 low)
+        saved[k] = spark.conf.get(k) if spark.conf._jconf.contains(k) else None
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -194,6 +192,11 @@ def test_runtime_bloom_filter_prunes_fact_side_rows(_aqe, sf_dir):
     identical with the rewrite disabled — the filter is a pure pruning
     overlay, never a semantics change."""
     spark = _aqe
+    # Save only keys EXPLICITLY set on the session (contains), not values
+    # conf.get would resolve from defaults/fallbacks — restoring a resolved
+    # default via set() would pin it and silently decouple e.g. the
+    # adaptive threshold from its autoBroadcastJoinThreshold fallback for
+    # the rest of the shared-session pytest run (ADVICE r14 low).
     saved = {}
     for k in (
         "spark.sql.optimizer.runtime.bloomFilter.enabled",
@@ -201,10 +204,7 @@ def test_runtime_bloom_filter_prunes_fact_side_rows(_aqe, sf_dir):
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold",
     ):
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
+        saved[k] = spark.conf.get(k) if spark.conf._jconf.contains(k) else None
 
     def build():
         # fresh Dataset per pass (same staleness rule as the flip test)

@@ -55,16 +55,22 @@ def test_shared_session_view_namespace_is_last_writer_wins(spark, sf_dir, sf_dir
     """The deterministic core of the cross-dataset hazard: running the same
     SQL id against two sf_dirs on ONE session leaves the shared ``lineitem``
     view pointing at the second — which is exactly why the contract sends
-    cross-dataset concurrency to ``newSession()``."""
+    cross-dataset concurrency to ``newSession()``.
+
+    Deliberately mutates a view namespace, so it runs on a throwaway
+    ``newSession()`` (own temp-view catalog) and leaves the shared
+    session-scoped fixture untouched for later-collected tests
+    (ADVICE r14 low)."""
+    mine = spark.newSession()
     fn = all_queries()["sql_tpch_q1"].fn
-    fn(spark, sf_dir_mid).collect()
-    n_after_big = spark.table("lineitem").count()
-    fn(spark, sf_dir).collect()
-    n_after_tiny = spark.table("lineitem").count()
+    fn(mine, sf_dir_mid).collect()
+    n_after_big = mine.table("lineitem").count()
+    fn(mine, sf_dir).collect()
+    n_after_tiny = mine.table("lineitem").count()
     assert n_after_big != n_after_tiny, (
         "fixtures must differ in size for this pin to mean anything"
     )
-    expected_tiny = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    expected_tiny = mine.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     assert n_after_tiny == expected_tiny  # last writer owns the name
 
 
