@@ -32,21 +32,25 @@ def coverage_rotation() -> list[str]:
     """Driver correctness-coverage rotation for THIS round (round 15).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
-    iteration order each round, so with 243 registered ids only a rotating
+    iteration order each round, so with 244 registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly, executing the plan
-    pre-written in COVERAGE_ROTATION.md at the end of round 14 (pure
-    stalest-first; no debuts pending):
+    pre-written in COVERAGE_ROTATION.md at the end of round 14, plus the
+    standing debut policy:
 
+    0. The round-15 debut ``sql_cbo_broadcast`` (registered this round,
+       zero driver rows; debuts always head the window).
     1. The 43 remaining round-10-stale ids, alphabetical (headed by
        ``ext_data_quality``, displaced from round 14 by that round's
        debut).
-    2. The alphabetically-first 7 round-11-stale ids.
+    2. The alphabetically-first 6 round-11-stale ids
+       (``ext_ab_srm_check`` is pushed to round 16 by the debut).
 
     See COVERAGE_ROTATION.md's round-16 plan for the pre-written next
     window.
     """
+    debut = ["sql_cbo_broadcast"]
     round10_stalest = [
         "ext_data_quality",
         "ext_dataset_mix",
@@ -99,9 +103,8 @@ def coverage_rotation() -> list[str]:
         "agg_histogram_equiwidth",
         "agg_listagg",
         "agg_mode_deterministic",
-        "ext_ab_srm_check",
     ]
-    return round10_stalest + round11_stalest
+    return debut + round10_stalest + round11_stalest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

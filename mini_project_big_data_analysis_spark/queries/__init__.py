@@ -15,6 +15,7 @@ from . import windows_q  # noqa: F401,E402
 from . import temporal_q  # noqa: F401,E402
 from . import sql_q  # noqa: F401,E402
 from . import sql_q2  # noqa: F401,E402
+from . import cbo_q  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
 from . import ext_dedup_q  # noqa: F401,E402
 from . import ext_similarity_q  # noqa: F401,E402

@@ -1,0 +1,144 @@
+"""Cost-based-optimizer statistics queries (SURVEY.md §2 — CBO/ANALYZE).
+
+Closes the loop the round-14 estimate audit plane opened: on raw parquet
+scans Catalyst has NO rowCount and a Filter inherits its child's
+sizeInBytes (scripts/audit_estimates.py measured join-output estimates
+10-15 orders of magnitude off actuals), so every static join choice is
+blind until AQE repairs it at runtime. ``ANALYZE TABLE ... COMPUTE
+STATISTICS FOR ALL COLUMNS`` writes table + column stats into the catalog
+and ``spark.sql.cbo.enabled`` folds them through filters/joins, giving the
+STATIC planner the selectivity AQE only discovers after a shuffle — at
+100 TB that is the difference between planning the right join strategy
+before reading a byte and paying one wasted shuffle stage to learn it.
+
+Reference parity: the reference has no optimizer at all (pandas evaluates
+eagerly, app.py:87-158 recomputes from a full collection rescan); this
+module is north-star engine surface, not a port.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .base import register
+
+#: Session confs the CBO path touches; every fn restores them (contains()
+#: discipline — never pin a resolved default on the shared session).
+_CBO_KEYS = (
+    "spark.sql.cbo.enabled",
+    "spark.sql.cbo.planStats.enabled",
+    "spark.sql.cbo.joinReorder.enabled",
+)
+
+
+def ensure_stats_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...]
+) -> dict[str, str]:
+    """External catalog tables over the sf_dir parquet files, ANALYZEd.
+
+    The parquet fixtures are read-only, so the tables are pure metadata
+    (``USING parquet LOCATION``) — CREATE is a catalog write, never a data
+    copy, exactly how a 100 TB lakehouse table would be registered. Table
+    names carry an sf_dir hash: the in-memory catalog is shared across
+    ``newSession()`` children (SharedState), so an unqualified name would
+    be last-writer-wins across datasets — the same hazard the temp-view
+    contract documents. ANALYZE runs once per (table, catalog lifetime):
+    the fixtures are immutable and the table name is content-addressed by
+    sf_dir, so stats can never go stale — which is the production shape
+    too: statistics are table maintenance amortized over every query, not
+    a per-query tax.
+
+    Returns {logical name: catalog table name}.
+    """
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    out: dict[str, str] = {}
+    for name in names:
+        table = f"cbo_{name}_{tag}"
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {table} USING parquet "
+            f"LOCATION '{sf_dir}/{name}.parquet'"
+        )
+        # CREATE records no Statistics row; its presence ⇔ our ANALYZE ran
+        has_stats = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            .filter("col_name = 'Statistics'")
+            .count()
+            > 0
+        )
+        if not has_stats:
+            spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+        out[name] = table
+    return out
+
+
+def catalog_size_bytes(spark: SparkSession, table: str) -> int:
+    """The ANALYZE-recorded table size from the catalog (public surface:
+    DESCRIBE EXTENDED's Statistics row, 'NNN bytes, MMM rows')."""
+    row = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .filter("col_name = 'Statistics'")
+        .collect()
+    )
+    return int(row[0].data_type.split(" bytes")[0])
+
+
+@register(
+    "sql_cbo_broadcast",
+    """
+    SELECT l_orderkey, round(sum(l_quantity), 4) AS qty_sum,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    GROUP BY l_orderkey
+    """,
+)
+def sql_cbo_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-driven join planning: the urgent/high-value orders slice
+    joined to lineitem, planned over ANALYZEd catalog tables with CBO on.
+
+    Without column stats the filtered orders side keeps the full table's
+    sizeInBytes and the static planner must assume the worst (the audit
+    plane's measured multi-order-of-magnitude join estimate gap); with
+    FOR ALL COLUMNS stats + ``spark.sql.cbo.enabled`` the filter's
+    selectivity shrinks the estimate so the broadcast decision is made
+    correctly BEFORE execution — tests/test_plans.py pins the actual
+    SMJ→BroadcastHashJoin flip (AQE off, fixed threshold, stats vs none)
+    and that the optimized plan carries a CBO rowCount. The session confs
+    are snapshot/restored (contains() discipline), so the shared session
+    leaves this fn exactly as it entered.
+    """
+    tables = ensure_stats_tables(spark, sf_dir, ("lineitem", "orders"))
+    saved = {
+        k: (spark.conf.get(k) if spark.conf._jconf.contains(k) else None)
+        for k in _CBO_KEYS
+    }
+    try:
+        for k in _CBO_KEYS:
+            spark.conf.set(k, "true")
+        df = spark.sql(
+            f"""
+            SELECT l_orderkey, round(sum(l_quantity), 4) AS qty_sum,
+                   count(*) AS n_lines
+            FROM {tables["lineitem"]}
+            JOIN {tables["orders"]} ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+            GROUP BY l_orderkey
+            """
+        )
+        # Materialize analysis+optimization AND the stats cache NOW, while
+        # CBO is on: a lazy DataFrame freezes its optimized plan at first
+        # queryExecution access, and stats() picks its estimation visitor
+        # (row-count CBO vs size-only) from the conf active at FIRST
+        # stats() call — both would otherwise resolve after the finally
+        # below restores the session confs.
+        df._jdf.queryExecution().optimizedPlan().stats()
+        return df
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -55,6 +55,9 @@ DEFAULT_IDS = [
     "flagship_region_hourly_stats",
     "ext_dedup_exact",
     "agg_group_avg",
+    # the ANALYZE/CBO id: the one catalog entry whose static plan HAS a
+    # rowCount — the est_rows column's non-None witness (round 15)
+    "sql_cbo_broadcast",
 ]
 
 _JOIN_NODES = re.compile(

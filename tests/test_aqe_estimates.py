@@ -282,3 +282,21 @@ def test_estimate_audit_report_is_coherent(_aqe, sf_dir):
     # is estimate-visible: the dim scan itself is under the threshold), so
     # the audit must report no strategy flip for it
     assert not rec["join_flips"], rec["join_flips"]
+
+
+def test_estimate_audit_sees_cbo_rowcount(_aqe, sf_dir):
+    """The loop the round-14 audit opened, closed: on the ANALYZE/CBO id
+    the same audit record that is honest about est_rows=None on raw
+    parquet now carries a real optimizer rowCount — static planning has
+    the signal AQE otherwise only learns after a shuffle."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from scripts.audit_estimates import audit_one
+
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    rec = audit_one(_aqe, all_queries()["sql_cbo_broadcast"].fn, sf_dir)
+    assert rec["final_is_adaptive"]
+    assert rec["actual_rows"] > 0
+    assert rec["est_rows"] is not None and rec["est_rows"] > 0
