@@ -19,6 +19,7 @@ module is north-star engine surface, not a port.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -52,6 +53,9 @@ def ensure_stats_tables(
 
     Returns {logical name: catalog table name}.
     """
+    # a relative sf_dir (the sf1/sf3 fixtures live in the repo root) would
+    # otherwise resolve the LOCATION against spark-warehouse/
+    sf_dir = os.path.abspath(sf_dir)
     tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
     out: dict[str, str] = {}
     for name in names:
