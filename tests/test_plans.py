@@ -642,3 +642,66 @@ def test_cbo_query_restores_session_confs(spark, sf_dir):
     assert df.count() > 0
     after = {k: spark.conf._jconf.contains(k) for k in _CBO_KEYS}
     assert before == after, (before, after)
+
+
+def test_cbo_stats_reorder_join_graph(spark, sf_dir):
+    """The join-ORDER half of the statistics story: written worst-first
+    (lineitem JOIN orders JOIN customer, the two fact tables syntactically
+    first), without stats Catalyst keeps the syntactic order — the biggest
+    possible intermediate. With ANALYZE stats + cbo.joinReorder the
+    optimizer roots the tree at lineitem⋈(orders⋈filtered-customer): the
+    selective dim join builds the small intermediate first. Pinned by the
+    relative nesting of the two join conditions in the optimized plan
+    (outer join prints first in toString)."""
+    import re
+
+    from mini_project_big_data_analysis_spark.queries.cbo_q import (
+        ensure_stats_tables,
+    )
+
+    t = ensure_stats_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    keys = (
+        "spark.sql.cbo.enabled",
+        "spark.sql.cbo.planStats.enabled",
+        "spark.sql.cbo.joinReorder.enabled",
+    )
+    saved = {
+        k: (spark.conf.get(k) if spark.conf._jconf.contains(k) else None)
+        for k in keys
+    }
+    sql = f"""
+        SELECT c_mktsegment, count(*) AS n
+        FROM {t["lineitem"]}
+        JOIN {t["orders"]}   ON l_orderkey = o_orderkey
+        JOIN {t["customer"]} ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+        GROUP BY c_mktsegment
+    """
+    orderkey_join = re.compile(r"Join Inner, \(l_orderkey#\d+L? = o_orderkey#\d+L?\)")
+    custkey_join = re.compile(r"Join Inner, \(o_custkey#\d+L? = c_custkey#\d+L?\)")
+
+    def join_positions(cbo_on: bool):
+        for k in keys:
+            spark.conf.set(k, str(cbo_on).lower())
+        plan = spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+        mo, mc = orderkey_join.search(plan), custkey_join.search(plan)
+        assert mo and mc, plan[:2000]
+        return mo.start(), mc.start()
+
+    try:
+        o_pos, c_pos = join_positions(cbo_on=False)
+        assert c_pos < o_pos, (
+            "without stats the syntactic order should stand "
+            "(custkey join at the root, fact⋈fact innermost)"
+        )
+        o_pos, c_pos = join_positions(cbo_on=True)
+        assert o_pos < c_pos, (
+            "stats + joinReorder should root the tree at the orderkey join "
+            "(filtered dim join innermost)"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
