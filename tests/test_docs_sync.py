@@ -93,3 +93,58 @@ def test_sf100_compare_count_matches_scaling_record():
     assert int(m2.group(1)) == n, (
         f"README says {m2.group(1)} sf100 compares, SCALING.md records {n}"
     )
+
+
+def test_bench_baseline_rows_parse():
+    """bench.py's guard-retry and scripts/classify_bench.py both parse
+    BASELINE.md's Spark column with the same regex; pin that the canonical
+    table actually yields rows and that every registered id with an oracle
+    has one (rows-only ids legitimately have no DuckDB column and are
+    exempt from the guard)."""
+    import sys
+
+    sys.path.insert(0, str(ROOT))
+    import bench
+
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    rows = bench.baseline_rows()
+    assert len(rows) >= 240, len(rows)
+    registry = all_queries()
+    missing = [
+        q for q, spec in registry.items() if spec.oracle is not None and q not in rows
+    ]
+    assert not missing, f"oracle-checked ids without a BASELINE row: {missing}"
+    assert all(v > 0 for v in rows.values())
+
+
+def test_classify_bench_flags_and_verdicts():
+    """classify_bench's pure pieces: tier parsing, guard flagging and the
+    median — no Spark, no subprocess."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "classify_bench", ROOT / "scripts" / "classify_bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert mod.median([1.0, 3.0, 2.0]) == 2.0
+    assert mod.median([1.0, 2.0]) == 1.5
+    rows = mod.baseline_rows()
+    assert len(rows) >= 240
+    tmp = ROOT / "spark-warehouse"
+    tmp.mkdir(exist_ok=True)
+    p = tmp / "classify_fixture.json"
+    p.write_text(json.dumps({"queries": {"agg_cube": 99.0, "agg_count": 0.001}}))
+    try:
+        tier = mod.tier_timings(str(p))
+        flagged = [
+            q
+            for q, t in tier.items()
+            if q in rows and rows[q] > 0 and t > 2 * rows[q]
+        ]
+        assert flagged == ["agg_cube"]
+    finally:
+        p.unlink()
