@@ -705,3 +705,82 @@ def test_cbo_stats_reorder_join_graph(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cbo_histogram_fixes_skewed_selectivity(spark, sf_dir):
+    """Basic column stats assume a uniform value distribution — on the
+    log-normal-ish ``events.value`` (median ~35, max ~490) that is wrong
+    by an order of magnitude in BOTH directions (measured at sf0.01:
+    `value > 113` est 7695 vs actual 1010; `value < 10` est 204 vs actual
+    1816). ``spark.sql.statistics.histogram.enabled`` makes ANALYZE build
+    an equi-height histogram and the same range predicates estimate within
+    a few percent. At 100 TB selectivity this wrong flips join strategies
+    and shuffle sizings; skewed columns are the rule in training-data
+    corpora (doc lengths, scores, degree distributions)."""
+    from mini_project_big_data_analysis_spark.queries.cbo_q import _CBO_KEYS
+
+    keys = _CBO_KEYS + (
+        "spark.sql.statistics.histogram.enabled",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    )
+    saved = {
+        k: (spark.conf.get(k) if spark.conf._jconf.contains(k) else None)
+        for k in keys
+    }
+    table = "cbo_hist_events_pin"
+    try:
+        # events.parquet carries an INT64-ns ts column: footer schema maps
+        # only under nanosAsLong (sources/events.py) — needed at CREATE
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        for k in _CBO_KEYS:
+            spark.conf.set(k, "true")
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {table} USING parquet "
+            f"LOCATION '{sf_dir}/events.parquet'"
+        )
+
+        def est(pred: str) -> int:
+            st = (
+                spark.sql(f"SELECT event_id FROM {table} WHERE {pred}")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert st.rowCount().isDefined()
+            return int(str(st.rowCount().get()))
+
+        preds = ["value > 113", "value < 10"]
+        actual = {
+            p: spark.sql(f"SELECT count(*) AS n FROM {table} WHERE {p}").collect()[0].n
+            for p in preds
+        }
+        assert all(v > 0 for v in actual.values()), actual
+
+        def ratio_err(e: int, a: int) -> float:
+            # symmetric multiplicative error: 1.0 = exact, 5.0 = 5× off in
+            # either direction (an additive |e-a|/a caps underestimates at
+            # 1.0 and would hide a 30→170 miss)
+            e = max(e, 1)
+            return max(e, a) / min(e, a)
+
+        spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS value")
+        basic = {p: ratio_err(est(p), actual[p]) for p in preds}
+
+        spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS value")
+        hist = {p: ratio_err(est(p), actual[p]) for p in preds}
+
+        for p in preds:
+            # uniform assumption: multiples off (measured 5.5-8.9× across
+            # fixtures); histogram: within a few percent
+            assert basic[p] > 3.0, (p, basic[p])
+            assert hist[p] < 1.3, (p, hist[p])
+            assert hist[p] < basic[p] / 2, (p, basic, hist)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
