@@ -49,7 +49,27 @@ def baseline_rows() -> dict[str, float]:
 
 
 def tier_timings(path: str) -> dict[str, float]:
+    """Full-tier {qid: sec} from any bench artifact shape: BENCH_FULL.json
+    (queries dict), or a driver BENCH_r{N}.json — whose "parsed" payload
+    holds only the 20 headline ids while the full tier lives as
+    "## full qid: sec" lines inside the captured "tail" text."""
     data = json.load(open(path))
+    if "tail" in data and isinstance(data["tail"], str):
+        full = {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(r"## full (\w+): ([\d.]+)", data["tail"])
+        }
+        if full:
+            if len(full) < 100:
+                # the driver's tail capture keeps only the last few KB; a
+                # partial tier must not read as "nothing else flagged"
+                print(
+                    f"# WARNING: {path} tail holds only {len(full)} full-tier "
+                    "ids (truncated capture) — prefer the same run's "
+                    "BENCH_FULL.json sidecar for complete coverage",
+                    file=sys.stderr,
+                )
+            return full
     if "queries" in data and isinstance(data["queries"], dict):
         return data["queries"]
     if "parsed" in data and isinstance(data["parsed"], dict):
