@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -32,6 +33,14 @@ _CBO_KEYS = (
     "spark.sql.cbo.planStats.enabled",
     "spark.sql.cbo.joinReorder.enabled",
 )
+
+#: RuntimeConfig is session-scoped, so two concurrent callers interleaving
+#: set→restore on the SAME session could each restore the other's
+#: intermediate state (leaving cbo pinned on — harmless for results, but a
+#: leave-as-found violation). The mutate→plan→restore window is short
+#: (logical planning only; execution happens at the caller's action, after
+#: release), so a process-level lock serializes it cheaply.
+_CBO_CONF_LOCK = threading.Lock()
 
 
 def ensure_stats_tables(
@@ -115,34 +124,35 @@ def sql_cbo_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves this fn exactly as it entered.
     """
     tables = ensure_stats_tables(spark, sf_dir, ("lineitem", "orders"))
-    saved = {
-        k: (spark.conf.get(k) if spark.conf._jconf.contains(k) else None)
-        for k in _CBO_KEYS
-    }
-    try:
-        for k in _CBO_KEYS:
-            spark.conf.set(k, "true")
-        df = spark.sql(
-            f"""
-            SELECT l_orderkey, round(sum(l_quantity), 4) AS qty_sum,
-                   count(*) AS n_lines
-            FROM {tables["lineitem"]}
-            JOIN {tables["orders"]} ON l_orderkey = o_orderkey
-            WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
-            GROUP BY l_orderkey
-            """
-        )
-        # Materialize analysis+optimization AND the stats cache NOW, while
-        # CBO is on: a lazy DataFrame freezes its optimized plan at first
-        # queryExecution access, and stats() picks its estimation visitor
-        # (row-count CBO vs size-only) from the conf active at FIRST
-        # stats() call — both would otherwise resolve after the finally
-        # below restores the session confs.
-        df._jdf.queryExecution().optimizedPlan().stats()
-        return df
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    with _CBO_CONF_LOCK:
+        saved = {
+            k: (spark.conf.get(k) if spark.conf._jconf.contains(k) else None)
+            for k in _CBO_KEYS
+        }
+        try:
+            for k in _CBO_KEYS:
+                spark.conf.set(k, "true")
+            df = spark.sql(
+                f"""
+                SELECT l_orderkey, round(sum(l_quantity), 4) AS qty_sum,
+                       count(*) AS n_lines
+                FROM {tables["lineitem"]}
+                JOIN {tables["orders"]} ON l_orderkey = o_orderkey
+                WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+                GROUP BY l_orderkey
+                """
+            )
+            # Materialize analysis+optimization AND the stats cache NOW,
+            # while CBO is on: a lazy DataFrame freezes its optimized plan
+            # at first queryExecution access, and stats() picks its
+            # estimation visitor (row-count CBO vs size-only) from the conf
+            # active at FIRST stats() call — both would otherwise resolve
+            # after the finally below restores the session confs.
+            df._jdf.queryExecution().optimizedPlan().stats()
+            return df
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)

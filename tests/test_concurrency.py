@@ -36,6 +36,9 @@ _MIX = [
     "window_topk_per_group",
     "ext_text_stats",
     "join_inner_equi",
+    # conf-mutating id: its set→plan→restore window is lock-serialized
+    # (queries/cbo_q.py _CBO_CONF_LOCK) — this pin is what keeps that true
+    "sql_cbo_broadcast",
 ]
 
 
