@@ -118,9 +118,9 @@ def test_bench_baseline_rows_parse():
     assert all(v > 0 for v in rows.values())
 
 
-def test_classify_bench_flags_and_verdicts():
-    """classify_bench's pure pieces: tier parsing, guard flagging and the
-    median — no Spark, no subprocess."""
+def test_classify_bench_flags_and_verdicts(tmp_path):
+    """classify_bench's pure pieces: tier parsing (both artifact shapes),
+    guard flagging and the median — no Spark, no subprocess."""
     import importlib.util
     import json
 
@@ -134,17 +134,23 @@ def test_classify_bench_flags_and_verdicts():
     assert mod.median([1.0, 2.0]) == 1.5
     rows = mod.baseline_rows()
     assert len(rows) >= 240
-    tmp = ROOT / "spark-warehouse"
-    tmp.mkdir(exist_ok=True)
-    p = tmp / "classify_fixture.json"
+
+    p = tmp_path / "classify_fixture.json"
     p.write_text(json.dumps({"queries": {"agg_cube": 99.0, "agg_count": 0.001}}))
-    try:
-        tier = mod.tier_timings(str(p))
-        flagged = [
-            q
-            for q, t in tier.items()
-            if q in rows and rows[q] > 0 and t > 2 * rows[q]
-        ]
-        assert flagged == ["agg_cube"]
-    finally:
-        p.unlink()
+    tier = mod.tier_timings(str(p))
+    flagged = [
+        q for q, t in tier.items() if q in rows and rows[q] > 0 and t > 2 * rows[q]
+    ]
+    assert flagged == ["agg_cube"]
+
+    # driver BENCH_r{N} shape: full tier parsed out of the tail capture
+    p2 = tmp_path / "classify_driver.json"
+    p2.write_text(
+        json.dumps(
+            {
+                "parsed": {"queries": {"agg_cube": 0.2}},
+                "tail": "## full agg_cube: 99.0\n## full agg_count: 0.001\n",
+            }
+        )
+    )
+    assert mod.tier_timings(str(p2)) == {"agg_cube": 99.0, "agg_count": 0.001}
