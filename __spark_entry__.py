@@ -29,82 +29,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def coverage_rotation() -> list[str]:
-    """Driver correctness-coverage rotation for THIS round (round 15).
+    """Driver correctness-coverage rotation for THIS round (round 16).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
-    iteration order each round, so with 244 registered ids only a rotating
+    iteration order each round, so with 244+ registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly, executing the plan
-    pre-written in COVERAGE_ROTATION.md at the end of round 14, plus the
-    standing debut policy:
+    pre-written in COVERAGE_ROTATION.md at the end of round 15, plus the
+    standing debut policy (any id registered this round, never
+    driver-checked, heads the window and pushes the tail into round 17):
 
-    0. The round-15 debut ``sql_cbo_broadcast`` (registered this round,
-       zero driver rows; debuts always head the window).
-    1. The 43 remaining round-10-stale ids, alphabetical (headed by
-       ``ext_data_quality``, displaced from round 14 by that round's
-       debut).
-    2. The alphabetically-first 6 round-11-stale ids
-       (``ext_ab_srm_check`` is pushed to round 16 by the debut).
+    0. Round-16 debut(s), if any (``stream_tws_dedup`` when registered).
+    1. The 44 remaining round-11-stale ids, alphabetical (headed by
+       ``ext_ab_srm_check``, displaced from round 15 by that round's
+       ``sql_cbo_broadcast`` debut).
+    2. The alphabetically-first round-12-stale ids to fill to 50.
 
-    See COVERAGE_ROTATION.md's round-16 plan for the pre-written next
+    See COVERAGE_ROTATION.md's round-17 plan for the pre-written next
     window.
     """
-    debut = ["sql_cbo_broadcast"]
-    round10_stalest = [
-        "ext_data_quality",
-        "ext_dataset_mix",
-        "ext_decontaminate",
-        "ext_dedup_fuzzy",
-        "ext_doc_len_histogram",
-        "ext_doc_winnow",
-        "ext_domain_cap",
-        "ext_domain_stats",
-        "ext_dup_cluster_stats",
-        "ext_entity_match",
-        "ext_token_budget_mix",
-        "setop_intersect",
-        "setop_union_all",
-        "snk_append_write",
-        "snk_compact_small_files",
-        "snk_json_roundtrip",
-        "snk_partitioned_write",
-        "snk_time_travel",
-        "sort_order_by",
-        "sql_tpch_q2",
-        "sql_tpch_q4",
-        "sql_tpch_q7",
-        "sql_tpch_q8",
-        "sql_tpch_q9",
-        "sql_tpch_q11",
-        "sql_tpch_q12",
-        "sql_tpch_q13",
-        "sql_tpch_q14",
-        "sql_tpch_q15",
-        "sql_tpch_q16",
-        "sql_tpch_q17",
-        "sql_tpch_q19",
-        "sql_tpch_q20",
-        "sql_tpch_q22",
-        "src_json_corrupt",
-        "src_json_scan",
-        "src_orc_roundtrip",
-        "src_parquet_scan",
-        "src_python_datasource",
-        "src_table_scan",
-        "stream_multibatch_agg",
-        "stream_stream_join",
-        "window_gap_islands",
-    ]
+    registry_ids = set(all_queries())
+    debut = [qid for qid in ("stream_tws_dedup",) if qid in registry_ids]
     round11_stalest = [
-        "agg_bitmap_distinct",
-        "agg_bool_aggregates",
-        "agg_filter_clause",
-        "agg_histogram_equiwidth",
-        "agg_listagg",
-        "agg_mode_deterministic",
+        "ext_ab_srm_check",
+        "ext_anomaly_mad",
+        "ext_autocorr",
+        "ext_burst_detect",
+        "ext_compaction_bins",
+        "ext_dedup_containment",
+        "ext_dq_rules",
+        "ext_funnel_steps",
+        "ext_heavy_hitters",
+        "ext_json_props",
+        "ext_lang_quality",
+        "ext_link_pagerank",
+        "ext_multimodal_phash_dedup",
+        "ext_perplexity_buckets",
+        "ext_pii_scrub",
+        "ext_pmi_collocations",
+        "ext_retention_cohorts",
+        "ext_sample_stratified",
+        "ext_split_hash",
+        "ext_text_stats",
+        "ext_token_pack",
+        "ext_token_regex_count",
+        "ext_vocab_topk",
+        "ext_zorder_cluster",
+        "join_asof",
+        "join_interval_overlap",
+        "join_range_band",
+        "join_salted_skew",
+        "setop_except",
+        "snk_upsert_write",
+        "sql_recursive_cte",
+        "sql_tpch_q1",
+        "sql_tpch_q3",
+        "sql_tpch_q5",
+        "sql_tpch_q6",
+        "src_csv_roundtrip",
+        "src_jdbc_scan",
+        "src_kafka_segment",
+        "src_schema_evolution",
+        "stream_late_filter",
+        "window_lag_delta",
+        "window_latest_per_key",
+        "window_ntile",
+        "window_rolling_avg",
     ]
-    return debut + round10_stalest + round11_stalest
+    round12_stalest = [
+        "agg_corr_stats",
+        "agg_count",
+        "agg_describe",
+        "agg_distinct_sorted",
+        "agg_global_stats",
+        "agg_group_avg",
+    ]
+    window = debut + round11_stalest + round12_stalest
+    return window[:50]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -155,14 +155,25 @@ def main() -> int:
             row = guard.get(qid)
             if row and timings_full[qid] > 2 * row:
                 # over the regression guard on 2 draws: 2 more draws to
-                # separate in-suite inflation from a real floor shift
+                # separate in-suite inflation from a real floor shift.
+                # The tier keeps the min (same estimator as unflagged ids'
+                # best-of-2, one draw deeper), but the median-of-4 is
+                # recorded beside it so a high-variance id that slipped
+                # under on one lucky draw stays visible to
+                # classify_bench's isolated-median audit (ADVICE r15).
                 first = timings_full[qid]
-                best = round(min(first, *(run_once(qid) for _ in range(2))), 3)
-                guard_retries[qid] = {"best_of_2": first, "best_of_4": best}
+                draws = sorted([first, *(run_once(qid) for _ in range(2))])
+                best = round(draws[0], 3)
+                med = round(draws[1], 3)  # median of the 3 available values
+                guard_retries[qid] = {
+                    "best_of_2": first,
+                    "best_of_4": best,
+                    "median_of_3": med,
+                }
                 timings_full[qid] = best
                 print(
-                    f"## guard-retry {qid}: {first} -> {best}"
-                    f" (2x row = {2 * row:.3f})",
+                    f"## guard-retry {qid}: {first} -> {best} (median {med},"
+                    f" 2x row = {2 * row:.3f})",
                     file=sys.stderr,
                 )
         except Exception as exc:  # pragma: no cover - defensive

@@ -42,6 +42,48 @@ _CBO_KEYS = (
 #: release), so a process-level lock serializes it cheaply.
 _CBO_CONF_LOCK = threading.Lock()
 
+#: Serializes the CREATE→has-stats→ANALYZE window in ensure_stats_tables:
+#: without it two first-time concurrent callers can both miss the
+#: Statistics probe and ANALYZE the same table twice, or one can plan
+#: against partially-written column stats (ADVICE r15). Separate from
+#: _CBO_CONF_LOCK — catalog writes and session-conf mutation are
+#: independent critical sections and coupling them would serialize
+#: planning behind ANALYZE.
+_STATS_LOCK = threading.Lock()
+
+
+def conf_is_set(spark: SparkSession, key: str) -> bool:
+    """True iff ``key`` is explicitly set on the session (vs merely
+    resolvable to a default) — the probe the save/restore discipline
+    needs so restore can ``unset`` rather than pin a resolved default.
+
+    Classic PySpark exposes this only through the private
+    ``RuntimeConfig._jconf.contains``; this is the ONE place that private
+    attribute is touched (tests and queries all route here), so a Spark
+    Connect port or a RuntimeConfig refactor is a one-line fix. The
+    fallback — ``get(key, None) is not None`` — is weaker (a key with a
+    server-side default reads as set), but only runs where ``_jconf`` is
+    absent.
+    """
+    jconf = getattr(spark.conf, "_jconf", None)
+    if jconf is not None:
+        return bool(jconf.contains(key))
+    return spark.conf.get(key, None) is not None
+
+
+def snapshot_confs(spark: SparkSession, keys: tuple[str, ...]) -> dict:
+    """{key: current value, or None if not explicitly set} for restore_confs."""
+    return {k: (spark.conf.get(k) if conf_is_set(spark, k) else None) for k in keys}
+
+
+def restore_confs(spark: SparkSession, saved: dict) -> None:
+    """Inverse of snapshot_confs: unset what was unset, reset what was set."""
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
 
 def ensure_stats_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...]
@@ -67,22 +109,23 @@ def ensure_stats_tables(
     sf_dir = os.path.abspath(sf_dir)
     tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
     out: dict[str, str] = {}
-    for name in names:
-        table = f"cbo_{name}_{tag}"
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {table} USING parquet "
-            f"LOCATION '{sf_dir}/{name}.parquet'"
-        )
-        # CREATE records no Statistics row; its presence ⇔ our ANALYZE ran
-        has_stats = (
-            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
-            .filter("col_name = 'Statistics'")
-            .count()
-            > 0
-        )
-        if not has_stats:
-            spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
-        out[name] = table
+    with _STATS_LOCK:
+        for name in names:
+            table = f"cbo_{name}_{tag}"
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {table} USING parquet "
+                f"LOCATION '{sf_dir}/{name}.parquet'"
+            )
+            # CREATE records no Statistics row; its presence ⇔ our ANALYZE ran
+            has_stats = (
+                spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+                .filter("col_name = 'Statistics'")
+                .count()
+                > 0
+            )
+            if not has_stats:
+                spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+            out[name] = table
     return out
 
 
@@ -125,10 +168,7 @@ def sql_cbo_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tables = ensure_stats_tables(spark, sf_dir, ("lineitem", "orders"))
     with _CBO_CONF_LOCK:
-        saved = {
-            k: (spark.conf.get(k) if spark.conf._jconf.contains(k) else None)
-            for k in _CBO_KEYS
-        }
+        saved = snapshot_confs(spark, _CBO_KEYS)
         try:
             for k in _CBO_KEYS:
                 spark.conf.set(k, "true")
@@ -151,8 +191,4 @@ def sql_cbo_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             df._jdf.queryExecution().optimizedPlan().stats()
             return df
         finally:
-            for k, v in saved.items():
-                if v is None:
-                    spark.conf.unset(k)
-                else:
-                    spark.conf.set(k, v)
+            restore_confs(spark, saved)

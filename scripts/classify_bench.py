@@ -54,22 +54,32 @@ def tier_timings(path: str) -> dict[str, float]:
     holds only the 20 headline ids while the full tier lives as
     "## full qid: sec" lines inside the captured "tail" text."""
     data = json.load(open(path))
+    full: dict[str, float] = {}
     if "tail" in data and isinstance(data["tail"], str):
         full = {
             m.group(1): float(m.group(2))
             for m in re.finditer(r"## full (\w+): ([\d.]+)", data["tail"])
         }
-        if full:
-            if len(full) < 100:
-                # the driver's tail capture keeps only the last few KB; a
-                # partial tier must not read as "nothing else flagged"
-                print(
-                    f"# WARNING: {path} tail holds only {len(full)} full-tier "
-                    "ids (truncated capture) — prefer the same run's "
-                    "BENCH_FULL.json sidecar for complete coverage",
-                    file=sys.stderr,
-                )
-            return full
+        if full and len(full) < 100:
+            # the driver's tail capture keeps only the last few KB; a
+            # partial tier must not read as "nothing else flagged" — merge
+            # the complete parsed/queries payload underneath it (the tail's
+            # per-id lines win where both exist: they are the full-tier
+            # measurements, the headline dict re-times the same ids)
+            print(
+                f"# WARNING: {path} tail holds only {len(full)} full-tier "
+                "ids (truncated capture) — merging the parsed queries "
+                "payload; prefer the same run's BENCH_FULL.json sidecar",
+                file=sys.stderr,
+            )
+            for payload in (data.get("parsed"), data):
+                if isinstance(payload, dict) and isinstance(
+                    payload.get("queries"), dict
+                ):
+                    full = {**payload["queries"], **full}
+                    break
+    if full:
+        return full
     if "queries" in data and isinstance(data["queries"], dict):
         return data["queries"]
     if "parsed" in data and isinstance(data["parsed"], dict):
@@ -108,6 +118,8 @@ def main() -> int:
     n = 3
     if "--samples" in argv:
         i = argv.index("--samples")
+        if i + 1 >= len(argv) or not argv[i + 1].isdigit():
+            raise SystemExit("--samples requires an integer value")
         n = int(argv[i + 1])
         del argv[i : i + 2]
     bench_path = argv[0] if argv else os.path.join(ROOT, "BENCH_FULL.json")

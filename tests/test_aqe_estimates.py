@@ -27,6 +27,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from mini_project_big_data_analysis_spark.queries.cbo_q import conf_is_set
+
 
 @pytest.fixture()
 def _aqe(spark):
@@ -41,7 +43,7 @@ def _aqe(spark):
     for k, v in touched.items():
         # contains() = explicitly set on this session; a bare get() would
         # resolve defaults/fallbacks and the restore would pin them
-        saved[k] = spark.conf.get(k) if spark.conf._jconf.contains(k) else None
+        saved[k] = spark.conf.get(k) if conf_is_set(spark, k) else None
         if v is not None:
             spark.conf.set(k, v)
     yield spark
@@ -136,7 +138,7 @@ def test_aqe_splits_skewed_join_partitions(_aqe):
     ):
         # contains() = explicitly set; None → restore takes the unset path
         # so resolved defaults/fallbacks are never pinned (ADVICE r14 low)
-        saved[k] = spark.conf.get(k) if spark.conf._jconf.contains(k) else None
+        saved[k] = spark.conf.get(k) if conf_is_set(spark, k) else None
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -204,7 +206,7 @@ def test_runtime_bloom_filter_prunes_fact_side_rows(_aqe, sf_dir):
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold",
     ):
-        saved[k] = spark.conf.get(k) if spark.conf._jconf.contains(k) else None
+        saved[k] = spark.conf.get(k) if conf_is_set(spark, k) else None
 
     def build():
         # fresh Dataset per pass (same staleness rule as the flip test)
@@ -267,7 +269,7 @@ def test_estimate_audit_report_is_coherent(_aqe, sf_dir):
     runtime actuals drive the strategy."""
     import sys
 
-    sys.path.insert(0, ".")
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
     from scripts.audit_estimates import audit_one
 
     from mini_project_big_data_analysis_spark.queries import all_queries
@@ -291,7 +293,7 @@ def test_estimate_audit_sees_cbo_rowcount(_aqe, sf_dir):
     the signal AQE otherwise only learns after a shuffle."""
     import sys
 
-    sys.path.insert(0, ".")
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
     from scripts.audit_estimates import audit_one
 
     from mini_project_big_data_analysis_spark.queries import all_queries

@@ -154,3 +154,16 @@ def test_classify_bench_flags_and_verdicts(tmp_path):
         )
     )
     assert mod.tier_timings(str(p2)) == {"agg_cube": 99.0, "agg_count": 0.001}
+
+    # truncated-tail merge (ADVICE r15): an id present only in the parsed
+    # payload must surface, while the tail's full-tier line wins on overlap
+    p3 = tmp_path / "classify_truncated.json"
+    p3.write_text(
+        json.dumps(
+            {
+                "parsed": {"queries": {"agg_cube": 0.2, "agg_mode": 0.5}},
+                "tail": "## full agg_cube: 99.0\n",
+            }
+        )
+    )
+    assert mod.tier_timings(str(p3)) == {"agg_cube": 99.0, "agg_mode": 0.5}

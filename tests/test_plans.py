@@ -6,6 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from mini_project_big_data_analysis_spark.plans import checks
+from mini_project_big_data_analysis_spark.queries.cbo_q import conf_is_set
 from mini_project_big_data_analysis_spark.queries.flagship import flagship
 from mini_project_big_data_analysis_spark.sources.events import load_events
 
@@ -566,7 +567,7 @@ def test_cbo_stats_flip_static_join_to_broadcast(spark, sf_dir):
         "spark.sql.autoBroadcastJoinThreshold",
     )
     saved = {
-        k: (spark.conf.get(k) if spark.conf._jconf.contains(k) else None)
+        k: (spark.conf.get(k) if conf_is_set(spark, k) else None)
         for k in keys
     }
     build_sql = f"""
@@ -637,10 +638,10 @@ def test_cbo_query_restores_session_confs(spark, sf_dir):
     from mini_project_big_data_analysis_spark.queries import all_queries
     from mini_project_big_data_analysis_spark.queries.cbo_q import _CBO_KEYS
 
-    before = {k: spark.conf._jconf.contains(k) for k in _CBO_KEYS}
+    before = {k: conf_is_set(spark, k) for k in _CBO_KEYS}
     df = all_queries()["sql_cbo_broadcast"].fn(spark, sf_dir)
     assert df.count() > 0
-    after = {k: spark.conf._jconf.contains(k) for k in _CBO_KEYS}
+    after = {k: conf_is_set(spark, k) for k in _CBO_KEYS}
     assert before == after, (before, after)
 
 
@@ -666,7 +667,7 @@ def test_cbo_stats_reorder_join_graph(spark, sf_dir):
         "spark.sql.cbo.joinReorder.enabled",
     )
     saved = {
-        k: (spark.conf.get(k) if spark.conf._jconf.contains(k) else None)
+        k: (spark.conf.get(k) if conf_is_set(spark, k) else None)
         for k in keys
     }
     sql = f"""
@@ -724,7 +725,7 @@ def test_cbo_histogram_fixes_skewed_selectivity(spark, sf_dir):
         "spark.sql.legacy.parquet.nanosAsLong",
     )
     saved = {
-        k: (spark.conf.get(k) if spark.conf._jconf.contains(k) else None)
+        k: (spark.conf.get(k) if conf_is_set(spark, k) else None)
         for k in keys
     }
     table = "cbo_hist_events_pin"
