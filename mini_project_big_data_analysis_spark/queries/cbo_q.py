@@ -102,12 +102,23 @@ def ensure_stats_tables(
     too: statistics are table maintenance amortized over every query, not
     a per-query tax.
 
+    Column stats are computed for every column EXCEPT ``timestamp_ntz``
+    ones: Spark 4.1's FilterEstimation hits ``scala.MatchError:
+    TimestampNTZType`` when CBO folds a predicate through an NTZ column
+    that carries stats (measured on sql_tpch_q5's o_orderdate range — the
+    raw ANSI date literals in this repo's fixtures all read back as NTZ).
+    Excluding them keeps table-level stats + every other column's stats;
+    NTZ predicates simply estimate at default selectivity instead of
+    crashing the optimizer.
+
     Returns {logical name: catalog table name}.
     """
     # a relative sf_dir (the sf1/sf3 fixtures live in the repo root) would
     # otherwise resolve the LOCATION against spark-warehouse/
     sf_dir = os.path.abspath(sf_dir)
-    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    # v2: the NTZ-exclusion policy is part of the content address — a table
+    # ANALYZEd under the old FOR ALL COLUMNS policy must not be reused
+    tag = hashlib.md5(f"{sf_dir.rstrip('/')}#v2".encode()).hexdigest()[:8]
     out: dict[str, str] = {}
     with _STATS_LOCK:
         for name in names:
@@ -124,7 +135,15 @@ def ensure_stats_tables(
                 > 0
             )
             if not has_stats:
-                spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+                cols = [
+                    f.name
+                    for f in spark.table(table).schema.fields
+                    if f.dataType.simpleString() != "timestamp_ntz"
+                ]
+                spark.sql(
+                    f"ANALYZE TABLE {table} COMPUTE STATISTICS "
+                    f"FOR COLUMNS {', '.join(cols)}"
+                )
             out[name] = table
     return out
 
@@ -192,3 +211,118 @@ def sql_cbo_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             return df
         finally:
             restore_confs(spark, saved)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H family plan-diff surface (round 16): the SAME SQL text planned twice
+# — over raw parquet temp views (no stats, CBO off: what a fresh lakehouse
+# session sees) and over ANALYZEd catalog tables (CBO + join reorder on:
+# what a maintained one sees) — with AQE off so the diff isolates what the
+# STATIC planner decides before a single byte is shuffled. At 100 TB the
+# static choice is the one that matters: AQE can only repair a join
+# strategy after paying the mis-planned stage.
+
+#: qid -> (module attr holding the SQL text, module name, referenced tables)
+_TPCH_CBO_CASES: dict[str, tuple[str, str, tuple[str, ...]]] = {
+    "sql_tpch_q5": (
+        "_Q5", "sql_q",
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    ),
+    "sql_tpch_q8": (
+        "_Q8", "sql_q2",
+        ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+    ),
+    "sql_tpch_q9": (
+        "_Q9", "sql_q2",
+        ("part", "lineitem", "supplier", "orders", "nation"),
+    ),
+    "sql_tpch_q17": ("_Q17", "sql_q2", ("lineitem", "part")),
+    "sql_tpch_q18": ("_Q18", "sql_q", ("customer", "orders", "lineitem")),
+}
+
+
+def tpch_cbo_case(qid: str) -> tuple[str, tuple[str, ...]]:
+    """(sql_text, tables) for a TPC-H id in the CBO plan-diff set."""
+    attr, mod_name, tables = _TPCH_CBO_CASES[qid]
+    from . import sql_q, sql_q2  # local: avoid import cycle via queries/__init__
+
+    mod = {"sql_q": sql_q, "sql_q2": sql_q2}[mod_name]
+    return getattr(mod, attr), tables
+
+
+#: Confs the static-plan probe pins (beyond _CBO_KEYS): AQE off so the
+#: physical plan is the static one; broadcast threshold at the stock 10 MB
+#: so the diff reflects estimates, not an environment override.
+_STATIC_PLAN_KEYS = _CBO_KEYS + (
+    "spark.sql.adaptive.enabled",
+    "spark.sql.autoBroadcastJoinThreshold",
+)
+
+
+def tpch_static_plan(
+    spark: SparkSession, qid: str, sf_dir: str, use_stats: bool
+) -> str:
+    """The static physical plan (toString) for a TPC-H id, planned blind
+    (raw parquet views, CBO off) or informed (ANALYZEd catalog tables via
+    same-named temp views, CBO + planStats + joinReorder on).
+
+    Registers temp views under the base table names so the registered SQL
+    text runs unchanged — run on ``spark.newSession()`` unless the caller
+    owns the session's temp-view namespace. Session confs are
+    snapshot/restored under _CBO_CONF_LOCK.
+    """
+    from .base import load  # local: base imports nothing from here
+
+    sql_text, tables = tpch_cbo_case(qid)
+    if use_stats:
+        cat = ensure_stats_tables(spark, sf_dir, tables)
+        for t in tables:
+            spark.sql(f"CREATE OR REPLACE TEMP VIEW {t} AS SELECT * FROM {cat[t]}")
+    else:
+        for t in tables:
+            load(spark, sf_dir, t).createOrReplaceTempView(t)
+    with _CBO_CONF_LOCK:
+        saved = snapshot_confs(spark, _STATIC_PLAN_KEYS)
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            flag = "true" if use_stats else "false"
+            for k in _CBO_KEYS:
+                spark.conf.set(k, flag)
+            df = spark.sql(sql_text)
+            # materialize the plan inside the conf window (same staleness
+            # rule sql_cbo_broadcast documents)
+            return df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            restore_confs(spark, saved)
+
+
+def join_signature(plan_str: str) -> list[str]:
+    """Ordered ``kind:joinType:buildSide`` per join node in a physical-plan
+    string — the compact shape the audit diffs and the tests pin."""
+    import re
+
+    out: list[str] = []
+    kinds = (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    )
+    for line in plan_str.splitlines():
+        for kind in kinds:
+            if kind in line:
+                side = (
+                    "BuildLeft"
+                    if "BuildLeft" in line
+                    else ("BuildRight" if "BuildRight" in line else "-")
+                )
+                m = re.search(
+                    r"\b(Inner|LeftSemi|LeftAnti|LeftOuter|RightOuter|"
+                    r"FullOuter|Cross|ExistenceJoin)\b",
+                    line,
+                )
+                out.append(f"{kind}:{m.group(1) if m else '?'}:{side}")
+                break
+    return out
