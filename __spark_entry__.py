@@ -40,11 +40,14 @@ def coverage_rotation() -> list[str]:
     standing debut policy (any id registered this round, never
     driver-checked, heads the window and pushes the tail into round 17):
 
-    0. Round-16 debut(s), if any (``stream_tws_dedup`` when registered).
+    0. The round-16 debut ``stream_tws_dedup`` (the
+       transformWithStateInPandas dedup, registered this round after the
+       protobuf mini runtime un-gated the API; zero driver rows).
     1. The 44 remaining round-11-stale ids, alphabetical (headed by
        ``ext_ab_srm_check``, displaced from round 15 by that round's
        ``sql_cbo_broadcast`` debut).
-    2. The alphabetically-first round-12-stale ids to fill to 50.
+    2. The alphabetically-first round-12-stale ids to fill to 50
+       (``agg_group_avg`` is pushed to round 17 by the debut).
 
     See COVERAGE_ROTATION.md's round-17 plan for the pre-written next
     window.

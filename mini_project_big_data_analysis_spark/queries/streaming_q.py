@@ -86,6 +86,32 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_tws_dedup",
+    """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL
+    """,
+)
+def stream_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → exactly-once dedup on Spark 4's arbitrary-state API
+    (``transformWithStateInPandas``, RocksDB-backed typed ListState) with
+    the stream_dedup replay recipe's STRONG oracle: batch 2 redelivers
+    every tenth event (the reference consumer's at-least-once restart,
+    consumer.py:21-23) and the sink must hash-equal the single-delivery
+    event log — one surviving duplicate or lost key breaks the hash.
+
+    Registered in round 16 after vendoring a minimal pure-Python protobuf
+    runtime (vendor/google/protobuf/_mini_runtime.py) for the state-server
+    protocol this container's pyspark could not drive before — see
+    streaming/pipeline.py:tws_available."""
+    from ..streaming.pipeline import run_tws_dedup
+
+    return run_tws_dedup(spark, sf_dir)
+
+
+@register(
     "stream_stateful_stats",
     """
     SELECT event_type,

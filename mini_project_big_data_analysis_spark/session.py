@@ -40,6 +40,14 @@ def get_spark(
     is last-writer-wins across datasets. Engine conf is set at BUILDER
     level below precisely so child sessions inherit the 100 TB posture.
     """
+    # Must run BEFORE the JVM launches: the gateway inherits this process's
+    # environment, and Python workers take their import path from the env's
+    # PYTHONPATH — this is what lets transformWithStateInPandas workers
+    # import (the vendored) google.protobuf. No-op when protobuf is real.
+    from .vendor import enable_protobuf_shim
+
+    enable_protobuf_shim()
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
