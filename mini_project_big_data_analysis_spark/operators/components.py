@@ -61,7 +61,7 @@ def connected_components(
     )
 
     changed = 0
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         # One checkpointed round = path compression + TWO neighbor-min
         # hops, all in a single plan, so each round costs exactly two jobs
         # (the eager checkpoint + the convergence probe) yet advances the
@@ -106,6 +106,43 @@ def connected_components(
         labels = new_labels.select("node", "comp")
         if changed == 0:
             break
+        # Edge CONTRACTION (round 16): rewrite every edge onto the current
+        # labels and drop the (now intra-cluster) self-loops. Near-dup
+        # graphs are clique-heavy — every dup class of size k contributes
+        # k(k-1) directed edges but collapses to ONE label after the first
+        # min-propagation — so without this, every round re-shuffles the
+        # full clique fan-out (measured: the sf3 fixture's 30-cliques put
+        # ext_dedup_components at exp₃ 1.14, linear in raw edges). With it,
+        # rounds 2+ run on the quotient graph (inter-cluster edges only),
+        # making total cost ≈ one linear pass over E plus log-diameter
+        # rounds over the contracted remainder. Connectivity of the
+        # quotient composes with the node→comp mapping, and comp ids are
+        # themselves node ids, so the propagation/compression joins above
+        # work unchanged; label updates for a contracted representative
+        # reach its members through the next round's compression step.
+        # Contraction runs in the FIRST TWO rounds only: dup-class cliques
+        # (k(k-1) directed edges each) collapse to a single label in round
+        # 0's min-propagation, so the first contraction removes nearly all
+        # clique mass and the second catches stragglers; every later round
+        # then joins the small quotient graph instead of the raw edge set.
+        # Measured per-round contraction at sf0.1 cost MORE than it saved
+        # (2 extra joins + a checkpoint per round on an already-tiny
+        # quotient: 1.5 s → 3.5 s), while capping it at two keeps the sf1+
+        # win. NO early exit on an edgeless quotient either way: members
+        # can lag their representative's label by one compression step, so
+        # the loop must run until changed==0 — trailing rounds against an
+        # edgeless set are compression-only, O(V) not O(E).
+        if it < 2:
+            cmap_a = labels.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+            cmap_b = labels.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+            sym = (
+                sym.join(cmap_a, "a")
+                .join(cmap_b, "b")
+                .select(F.col("ca").alias("a"), F.col("cb").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
     if changed != 0:
         # A chain longer than max_iterations hops would otherwise silently
         # yield split components — wrong dedup clusters. Surface it.

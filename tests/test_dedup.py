@@ -280,3 +280,29 @@ def test_minhash_expansion_stays_lazy_in_the_returned_plan(spark):
         "pair expansion was materialized — the returned plan must keep the "
         "explode lazy:\n" + plan
     )
+
+
+def test_connected_components_cliques_with_bridges(spark):
+    """The contraction path (round 16): two 12-cliques joined by a single
+    bridge edge, plus a clique that dangles a 5-chain. Cliques collapse to
+    one label in the first round and the contraction drops their k(k-1)
+    edge mass; the bridge and chain must still merge the collapsed
+    clusters afterwards — a contraction that lost inter-cluster edges or
+    returned lagging member labels would split these."""
+    from mini_project_big_data_analysis_spark.operators.components import (
+        connected_components,
+    )
+
+    c1 = [(i, j) for i in range(0, 12) for j in range(0, 12) if i < j]
+    c2 = [(i, j) for i in range(100, 112) for j in range(100, 112) if i < j]
+    bridge = [(11, 100)]
+    c3 = [(i, j) for i in range(200, 212) for j in range(200, 212) if i < j]
+    chain = [(211, 300), (300, 301), (301, 302), (302, 303)]
+    edges = spark.createDataFrame(
+        c1 + c2 + bridge + c3 + chain, "id_a long, id_b long"
+    )
+    out = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert all(out[i] == 0 for i in list(range(12)) + list(range(100, 112)))
+    assert all(
+        out[i] == 200 for i in list(range(200, 212)) + [300, 301, 302, 303]
+    )
