@@ -29,6 +29,18 @@ the 2-draw min looks inflated. Fully transparent: every retry is logged
 to stderr and BENCH_FULL.json records pre- and post-retry values under
 "guard_retries" so the spread remains auditable, and a genuinely slow id
 stays over the guard no matter how many draws it gets.
+
+Self-classification (round 16): any id STILL over 2× after the retries is
+re-measured by the mechanized isolated protocol (scripts/classify_bench.py,
+3 fresh-JVM samples, run after this session's JVM stops) and the
+DRIFT / REGRESSION-CANDIDATE verdicts are embedded in BENCH_FULL.json
+("classification") and the headline line ("over2x_classified",
+"rebaseline_trigger") — a guard breach can reach the round record only
+with its drift-vs-regression classification attached. Rationale: rounds
+14-16 each produced a DIFFERENT near-disjoint sub-2s breach set per boot
+and every isolated re-measure landed in-guard (CLASSIFY_r16.json);
+classifying inline ends the next-round re-litigation loop. Skipped when
+>20 ids breach (systemic, not per-id drift) or SPARK_GRAFT_SKIP_CLASSIFY=1.
 """
 
 from __future__ import annotations
@@ -197,7 +209,10 @@ def main() -> int:
         "guard_retries": guard_retries,
         "sf": sf_num,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
         json.dump(full_report, f, indent=1, sort_keys=True)
 
     report = {
@@ -211,6 +226,72 @@ def main() -> int:
         "full_detail": "BENCH_FULL.json",
     }
     spark.stop()
+
+    # Self-classification (round 16): three consecutive rounds produced a
+    # DIFFERENT near-disjoint set of sub-2s ids over the 2× guard per boot
+    # (r14: 7, r15: 12, r16 gate: 12), and every isolated re-measure came
+    # back in-guard (CLASSIFY_r16.json: 12/12 DRIFT). So the artifact now
+    # classifies its own breaches: after the session is stopped (no JVM
+    # overlap), the mechanized isolated protocol re-measures any id still
+    # over 2× post-retry in fresh JVMs and the verdicts land inside
+    # BENCH_FULL.json — a breach can reach the round record only WITH its
+    # drift-vs-regression classification attached. Skipped when the breach
+    # set is implausibly large (>20: that is a systemic event, not per-id
+    # drift) or via SPARK_GRAFT_SKIP_CLASSIFY=1.
+    still_over = sorted(
+        q for q, t in timings_full.items() if q in guard and t > 2 * guard[q]
+    )
+    if still_over and len(still_over) <= 20 and os.environ.get(
+        "SPARK_GRAFT_SKIP_CLASSIFY"
+    ) != "1":
+        import subprocess
+
+        print(
+            f"## {len(still_over)} ids over 2x post-retry -> isolated "
+            "classification (classify_bench, 3 samples)",
+            file=sys.stderr,
+        )
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "scripts",
+                    "classify_bench.py",
+                ),
+                full_path,
+                sf_dir,
+                # 3 samples = the committed round-12 protocol; 2 proved too
+                # few on a noisy boot (median-of-2 is a mean, and single
+                # fresh-JVM draws here swing 3x minutes apart)
+                "--samples",
+                "3",
+            ],
+            capture_output=True,
+            text=True,
+        )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            verdicts = json.loads(lines[-1])
+            full_report["classification"] = verdicts
+            with open(full_path, "w") as f:
+                json.dump(full_report, f, indent=1, sort_keys=True)
+            summary = {
+                r["id"]: r["verdict"] for r in verdicts.get("report", [])
+            }
+            report["over2x_classified"] = summary
+            report["rebaseline_trigger"] = verdicts.get(
+                "rebaseline_trigger", False
+            )
+        else:
+            report["over2x_classified"] = {
+                q: "CLASSIFY-FAILED" for q in still_over
+            }
+            print(
+                f"## classification subprocess failed:\n{proc.stderr[-400:]}",
+                file=sys.stderr,
+            )
+
     print(json.dumps(report))
     return 0
 
