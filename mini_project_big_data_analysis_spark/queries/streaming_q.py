@@ -164,8 +164,12 @@ def stream_weather_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     from ..sources.weather_source import register_weather_source
-    from ..streaming.pipeline import _drain_and_stop
+    from ..streaming.pipeline import _drain_and_stop, _stream_session
 
+    # 16 rows per poll sweep: state partitioning derives to the floor (4)
+    # instead of the batch default — the windowed agg's state stores pay
+    # per-instance commit cost every one of the 10 micro-batches.
+    spark = _stream_session(spark, 0)
     register_weather_source(spark)
     name = f"wx_{_uuid.uuid4().hex[:10]}"
     agg = (

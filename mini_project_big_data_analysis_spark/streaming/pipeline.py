@@ -83,6 +83,95 @@ STREAM_BUDGET_S = float(os.environ.get("SPARK_GRAFT_STREAM_BUDGET_S", "300"))
 PROGRESS_SINK: list | None = None
 
 
+#: Target input bytes per streaming state partition (the AQE advisory-size
+#: idea applied to the one shuffle AQE cannot touch — streaming state).
+#: Stateful operators create one state-store instance PER shuffle partition
+#: PER micro-batch, and each instance pays a fixed commit cost (delta file
+#: write + fsync + maintenance bookkeeping) regardless of how few keys it
+#: holds. Round-16 measurement at sf0.1 (plans/r16/*_before.txt): every
+#: stateful stream ran with numShufflePartitions=32, and per-batch
+#: commitTimeMs summed to 30-180 s across instances for micro-batches of
+#: 16-200k rows — the commit overhead, not the aggregation, dominated every
+#: stateful id. Deriving the partition count from the stream's input size
+#: (floor 4, capped at the session default so a cluster-sized conf still
+#: wins at scale) keeps the same plan shape at every scale factor while
+#: sizing the fixed overhead to the data. Override:
+#: $SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS.
+STREAM_TARGET_BYTES_PER_PARTITION = 32 << 20
+
+
+#: Partition floors by stateful-operator kind, both measured in the round-16
+#: sweep at sf0.1 (OPTIMIZATION_r16.md): pure-JVM state operators (windowed
+#: aggs, dedup, stream-stream join, session windows) bottom out at 4
+#: (ssjoin best-of-2: 2.85 s @4 / 4.57 @16 / 9.23 @32 — per-instance commit
+#: cost dominates); Python stateful operators (applyInPandasWithState /
+#: transformWithStateInPandas) carry data-grain pandas work whose wall time
+#: parallelizes across partitions, so their floor is 16 (tws_dedup: 9.60 @4 /
+#: 5.49 @16 / 12.64 @32). Floors only bind at small inputs — the byte-derived
+#: count and the session default take over at scale.
+STREAM_FLOOR_JVM_STATE = 4
+STREAM_FLOOR_PYTHON_STATE = 16
+
+
+def _stream_shuffle_partitions(
+    spark: SparkSession, est_input_bytes: int, floor: int
+) -> int:
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    n_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    derived = max(
+        floor, -(-int(est_input_bytes) // STREAM_TARGET_BYTES_PER_PARTITION)
+    )
+    return min(n_default, derived)
+
+
+def _stream_session(
+    spark: SparkSession,
+    est_input_bytes: int,
+    floor: int = STREAM_FLOOR_JVM_STATE,
+) -> SparkSession:
+    """A session for ONE streaming run whose ``spark.sql.shuffle.partitions``
+    (= the stateful operators' state-store partition count, recorded in the
+    checkpoint at first batch) is sized to the stream's input instead of the
+    batch default.
+
+    Why a child session: state-store partitioning is only configurable
+    through ``spark.sql.shuffle.partitions``, and set/restore on the shared
+    session would race concurrent catalog queries (tests/test_concurrency.py
+    runs them). ``newSession()`` shares the SparkContext and cache but takes
+    builder-level conf only, so the parent's *runtime* conf (UTC timezone,
+    Arrow, audit retention caps — possibly set by an external driver via
+    ``configure_existing``) is copied over first; the clone differs from the
+    parent in exactly one key. When the derived count equals the session
+    default the parent is returned unchanged (the tests' 4-partition
+    sessions take this path, so their pinned behavior is byte-identical).
+    """
+    n = _stream_shuffle_partitions(spark, est_input_bytes, floor)
+    if n == int(spark.conf.get("spark.sql.shuffle.partitions")):
+        return spark
+    child = spark.newSession()
+    confs = spark._jsparkSession.sessionState().conf().getAllConfs()
+    it = confs.iterator()
+    while it.hasNext():
+        e = it.next()
+        try:
+            child.conf.set(e._1(), e._2())
+        except Exception:  # static conf — keeps its builder-level value
+            pass
+    child.conf.set("spark.sql.shuffle.partitions", str(n))
+    return child
+
+
+def _events_bytes(sf_dir: str) -> int:
+    """Size of the events source file — the input-volume estimate the
+    state-partition derivation uses (0 when absent: floor applies)."""
+    try:
+        return os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return 0
+
+
 def _capture_progress(q, spark: SparkSession) -> None:
     """Append ``q``'s micro-batch progress to PROGRESS_SINK (no-op when
     the sink is None). Raises if the capture is truncated at Spark's
@@ -286,6 +375,7 @@ def run_tumbling_agg_availablenow(
     (watermark-expired windows only) into foreachBatch/parquet, which keeps
     emission executor-side; the upstream agg/state graph is unchanged.
     """
+    spark = _stream_session(spark, _events_bytes(sf_dir))
     name = f"tumbling_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
     q = (
@@ -485,6 +575,7 @@ def run_stream_dedup_availablenow(
     """
     import shutil
 
+    spark = _stream_session(spark, 2 * _events_bytes(sf_dir))
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
     delivery = os.path.join(tempfile.gettempdir(), "mpbda_dedup_src", name)
@@ -601,6 +692,7 @@ def run_stateful_running_stats(
             }
         )
 
+    spark = _stream_session(spark, _events_bytes(sf_dir))
     name = f"stateful_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
     stream = clean_event_stream(read_events_stream(spark, sf_dir))
@@ -655,6 +747,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     all. availableNow processes the fixture in one deterministic batch,
     so the sink equals the batch band-join byte-for-byte (the oracle).
     """
+    spark = _stream_session(spark, _events_bytes(sf_dir))
     name = f"ssjoin_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
     ev = clean_event_stream(read_events_stream(spark, sf_dir))
@@ -712,6 +805,55 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_arrival_files(spark, base: str, indir: str, pieces: list) -> None:
+    """Materialize ``pieces`` as one time-ordered parquet file each
+    (``indir/00.parquet``, ``01.parquet``, … with ascending mtimes — the
+    arrival order ``maxFilesPerTrigger=1`` replays) in ONE Spark job.
+
+    The round-15 shape wrote each piece with its own ``coalesce(1)`` job —
+    N scans of the source and N sequential single-task jobs before the
+    stream even started (for the four-quarter splitter that was 5 of the
+    id's ~11 jobs). Tagging each piece and writing once with
+    ``partitionBy`` keeps every piece in exactly one task (hash
+    repartition on the literal tag: a tag maps to one partition, so each
+    piece directory holds exactly one part file) and runs the legs in
+    parallel inside a single job. A piece with no rows produces no
+    directory under dynamic partitioning where the old path wrote an empty
+    part file — the fallback writes that empty file so the stream sees the
+    identical batch sequence (scripts/empty_sweep.py pins the zero-row
+    fixture)."""
+    import glob
+    import shutil
+    import time as _time
+
+    tagged = None
+    for i, piece in enumerate(pieces):
+        t = piece.withColumn("__piece", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    tmp = os.path.join(base, "tmp")
+    (
+        tagged.repartition(len(pieces), "__piece")
+        .write.mode("overwrite")
+        .partitionBy("__piece")
+        .parquet(tmp)
+    )
+    now = _time.time()
+    for i, piece in enumerate(pieces):
+        parts = glob.glob(os.path.join(tmp, f"__piece={i}", "part-*.parquet"))
+        dst = os.path.join(indir, f"{i:02d}.parquet")
+        if parts:
+            shutil.move(parts[0], dst)
+        else:  # empty piece: write the empty file the old per-piece job made
+            empty_tmp = os.path.join(base, f"tmp_empty_{i}")
+            piece.limit(0).coalesce(1).write.mode("overwrite").parquet(empty_tmp)
+            shutil.move(
+                glob.glob(os.path.join(empty_tmp, "part-*.parquet"))[0], dst
+            )
+            shutil.rmtree(empty_tmp)
+        os.utime(dst, (now - 500 + i * 100,) * 2)  # mtime = arrival order
+    shutil.rmtree(tmp)
+
+
 def run_multibatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed aggregation across MANY micro-batches with checkpointed
     state — the multi-trigger coverage the availableNow ids (one batch)
@@ -731,16 +873,14 @@ def run_multibatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     on this runtime, below-watermark rows still aggregate. The files are
     time-ordered so nothing here depends on that behavior.)
     """
-    import glob
-    import shutil
-    import time as _time
-
     name = f"mb_{uuid.uuid4().hex[:8]}"
     base = os.path.join(tempfile.gettempdir(), "mpbda_stream_in", name)
     indir = os.path.join(base, "in")
     os.makedirs(indir)
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     from ..sources.readers import read_table
+
+    spark = _stream_session(spark, _events_bytes(sf_dir))
 
     ev = (
         read_table(spark, sf_dir, "events")
@@ -770,15 +910,7 @@ def run_multibatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.lit("2030-01-01 00:00:00").cast("timestamp"))
         .select(cols)
     )
-    now = _time.time()
-    for i, piece in enumerate(pieces + [sentinel]):
-        tmp = os.path.join(base, "tmp")
-        piece.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(indir, f"{i:02d}.parquet")
-        shutil.move(part, dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (now - 500 + i * 100,) * 2)  # mtime = arrival order
+    _write_arrival_files(spark, base, indir, pieces + [sentinel])
 
     src = (
         spark.readStream.schema(ev.schema)
@@ -831,16 +963,15 @@ def run_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle partition owning the key (the transformWithState scale
     posture); the payload never enters state.
     """
-    import glob
-    import shutil
-    import time as _time
-
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..sources.readers import read_table
 
+    spark = _stream_session(
+        spark, _events_bytes(sf_dir), floor=STREAM_FLOOR_PYTHON_STATE
+    )
     name = f"late_{uuid.uuid4().hex[:8]}"
     base = os.path.join(tempfile.gettempdir(), "mpbda_stream_in", name)
     indir = os.path.join(base, "in")
@@ -851,17 +982,12 @@ def run_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .select(cols)
     )
-    now = _time.time()
-    for i, piece in enumerate(
-        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
-    ):
-        tmp = os.path.join(base, "tmp")
-        piece.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(indir, f"{i:02d}.parquet")
-        shutil.move(part, dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (now - 500 + i * 100,) * 2)  # mtime = arrival order
+    _write_arrival_files(
+        spark,
+        base,
+        indir,
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)],
+    )
 
     LATE_BUDGET_US = 30 * 60 * 1_000_000  # 30 minutes, in µs
 
@@ -943,15 +1069,12 @@ def run_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-pruned anti-join/rewrite — the store only rewrites buckets the
     batch touches, so sink IO tracks batch size, not table size.
     """
-    import glob
-    import shutil
-    import time as _time
-
     from pyspark.sql import Window
 
     from ..sources.readers import read_table
     from ..sources.writers import ParquetBucketStore, upsert_into
 
+    spark = _stream_session(spark, _events_bytes(sf_dir))
     name = f"fbu_{uuid.uuid4().hex[:8]}"
     base = os.path.join(tempfile.gettempdir(), "mpbda_stream_in", name)
     indir = os.path.join(base, "in")
@@ -965,17 +1088,12 @@ def run_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = ev.select(
         F.percentile_approx("ts", 0.5, 10000).alias("m")
     ).first()["m"]
-    now = _time.time()
-    for i, piece in enumerate(
-        [ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)]
-    ):
-        tmp = os.path.join(base, "tmp")
-        piece.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(indir, f"{i:02d}.parquet")
-        shutil.move(part, dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (now - 500 + i * 100,) * 2)  # mtime = arrival order
+    _write_arrival_files(
+        spark,
+        base,
+        indir,
+        [ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)],
+    )
 
     store = ParquetBucketStore(spark, os.path.join(base, "store"))
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -1051,10 +1169,6 @@ def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     processor is the template for policies dropDuplicates can't express
     (TTLs, dedup-by-similarity, audit side-outputs).
     """
-    import glob
-    import shutil
-    import time as _time
-
     import pandas as pd
 
     from pyspark.sql.streaming.stateful_processor import (
@@ -1064,6 +1178,9 @@ def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.readers import read_table
 
+    spark = _stream_session(
+        spark, _events_bytes(sf_dir), floor=STREAM_FLOOR_PYTHON_STATE
+    )
     name = f"tws_{uuid.uuid4().hex[:8]}"
     base = os.path.join(tempfile.gettempdir(), "mpbda_stream_in", name)
     indir = os.path.join(base, "in")
@@ -1074,16 +1191,10 @@ def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .select(cols)
     )
-    now = _time.time()
-    pieces = [ev, ev.filter(F.col("event_id") % 10 == 0)]  # batch 2 = replay
-    for i, piece in enumerate(pieces):
-        tmp = os.path.join(base, "tmp")
-        piece.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(indir, f"{i:02d}.parquet")
-        shutil.move(part, dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (now - 500 + i * 100,) * 2)
+    # batch 2 = the at-least-once replay (every tenth event redelivered)
+    _write_arrival_files(
+        spark, base, indir, [ev, ev.filter(F.col("event_id") % 10 == 0)]
+    )
 
     class DedupProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -1163,6 +1274,7 @@ def run_sliding_agg_availablenow(
     run_tumbling_agg_availablenow: the result is one row per (window, type),
     bounded; at real cardinality the append-mode foreachBatch form keeps
     emission executor-side."""
+    spark = _stream_session(spark, _events_bytes(sf_dir))
     name = f"sliding_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
     agg = (
@@ -1205,6 +1317,7 @@ def run_session_agg_availablenow(
     AvailableNow over the deterministic fixture makes the materialized
     sink exactly the batch sessionization, which is what the oracle
     hash-checks — a dropped merge or split session breaks it."""
+    spark = _stream_session(spark, _events_bytes(sf_dir))
     name = f"session_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), "mpbda_ckpt", name)
     agg = (
