@@ -21,10 +21,60 @@ instead of growing per loop.
 
 from __future__ import annotations
 
+import os
 import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Edge-count gate under which the (already materialized, distinct,
+#: symmetrized) edge set is solved with a driver-side union-find instead of
+#: the iterative shuffle loop. Round-16 measurement: each distributed round
+#: costs ~4 shuffles + an eager checkpoint + a convergence probe regardless
+#: of size — 1.0-1.5 s/round on a 1,535-node label table, ×6 rounds on the
+#: sf0.1 semdedup graph — while a union-find over the same 2,898 collected
+#: edges is milliseconds. This is the standard finish-small-remainders step
+#: of large-scale CC (the local solve in Kiveris et al., "Connected
+#: Components in MapReduce and Beyond"): at 100 TB the gate simply never
+#: fires until contraction has shrunk the quotient below it, and 200k edges
+#: ≈ 3 MB through Arrow — broadcast-sized driver traffic, same class as the
+#: IVF centroid collects. Override with $SPARK_GRAFT_CC_LOCAL_EDGES
+#: (0 disables the local path entirely).
+LOCAL_FINISH_EDGES_DEFAULT = 200_000
+
+
+def _local_components(sym: DataFrame) -> DataFrame:
+    """Exact min-label components of a small symmetrized edge set via
+    driver-side union-find (roots kept at the set minimum, so the labels
+    are identical to the distributed fixpoint)."""
+    id_type = sym.schema["a"].dataType
+    pdf = sym.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # smaller id stays the root ⇒ root == set min
+
+    nodes = sorted(set(pdf["a"].tolist()) | set(pdf["b"].tolist()))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("comp", id_type)]
+    )
+    return sym.sparkSession.createDataFrame(
+        [(n, find(n)) for n in nodes], schema
+    )
 
 
 def connected_components(
@@ -32,10 +82,19 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
+    local_finish_edges: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component =
     min node id reachable over undirected edges. Deterministic.
+
+    ``local_finish_edges`` gates the driver-side union-find for small edge
+    sets (default $SPARK_GRAFT_CC_LOCAL_EDGES or 200k; 0 keeps every input
+    on the distributed loop).
     """
+    if local_finish_edges is None:
+        local_finish_edges = int(
+            os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", LOCAL_FINISH_EDGES_DEFAULT)
+        )
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -46,6 +105,10 @@ def connected_components(
     # an applyInPandas gram or an LSH candidate join) re-executes per
     # iteration.
     sym = sym.localCheckpoint(eager=True)
+    # count() on the checkpointed blocks is block-metadata cheap, and the
+    # local path it gates removes whole multi-shuffle rounds.
+    if local_finish_edges > 0 and sym.count() <= local_finish_edges:
+        return _local_components(sym)
     # Lineage MUST be truncated every iteration (eager localCheckpoint, not
     # persist): iteration N's logical plan otherwise embeds iteration N-1's
     # twice (propagation join + convergence check), so Catalyst analysis

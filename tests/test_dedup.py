@@ -163,9 +163,42 @@ def test_connected_components_long_chain_converges_fast(spark):
         warnings.simplefilter("error", RuntimeWarning)  # cap hit → failure
         out = {
             r.node: r.comp
-            for r in connected_components(edges, max_iterations=40).collect()
+            # local_finish_edges=0 pins the DISTRIBUTED loop: the round-16
+            # driver-side union-find would otherwise absorb this small graph
+            # and the round-budget property would go untested.
+            for r in connected_components(
+                edges, max_iterations=40, local_finish_edges=0
+            ).collect()
         }
     assert out == {i: 0 for i in range(n)}
+
+
+def test_connected_components_local_finish_matches_distributed(spark):
+    """Round-16 local-finish pin: below the edge gate the driver-side
+    union-find must return exactly the distributed fixpoint — same nodes,
+    same min-id labels — on a graph mixing chains, cliques and isolates-by-
+    self-loop, whichever path runs."""
+    from mini_project_big_data_analysis_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (21, 20), (7, 7), (100, 4), (4, 9)],
+        "id_a long, id_b long",
+    )
+    local = {
+        r.node: r.comp
+        for r in connected_components(edges, local_finish_edges=1000).collect()
+    }
+    dist = {
+        r.node: r.comp
+        for r in connected_components(edges, local_finish_edges=0).collect()
+    }
+    assert local == dist == {
+        3: 3, 5: 3, 9: 3, 4: 3, 100: 3,
+        20: 20, 21: 20,
+        7: 7,
+    }
 
 
 def test_tokenizers_agree_on_unicode_whitespace(spark):
