@@ -77,6 +77,45 @@ def _local_components(sym: DataFrame) -> DataFrame:
     )
 
 
+def bounded_min_relax_local(src, dst, init_ids, init_vals, rounds, hop_weight):
+    """``rounds`` SYNCHRONOUS min-relaxation steps — val[dst] ← min(val[dst],
+    val[src] + hop_weight) over int64 node ids — solved with numpy on the
+    driver. The local twin of the mining queries' bounded-round iterative
+    loops (BFS depth: hop_weight 1 over seeds; min-label propagation:
+    hop_weight 0 over all-own-label init), gated by the same small-graph
+    threshold as :func:`connected_components`' local finish. Each numpy
+    round copies the value vector first, so updates never propagate within
+    a round — exactly the distributed per-round semantics, making the
+    result identical after the SAME number of rounds; the early break fires
+    only at a fixpoint, where further rounds are no-ops by definition.
+    Returns ``(ids, vals)`` for nodes holding a finite value."""
+    import numpy as np
+
+    ids = np.unique(np.concatenate([src, dst, init_ids]))
+    src_i = np.searchsorted(ids, src)
+    dst_i = np.searchsorted(ids, dst)
+    inf = np.int64(2**62)
+    val = np.full(len(ids), inf, dtype=np.int64)
+    val[np.searchsorted(ids, init_ids)] = init_vals
+    for _ in range(rounds):
+        cand = val[src_i] + np.int64(hop_weight)
+        new = val.copy()
+        np.minimum.at(new, dst_i, cand)
+        if np.array_equal(new, val):
+            break
+        val = new
+    mask = val < inf
+    return ids[mask], val[mask]
+
+
+def local_graph_gate() -> int:
+    """The shared small-graph threshold (edge count) for driver-side
+    finishes: $SPARK_GRAFT_CC_LOCAL_EDGES or the 200k default."""
+    return int(
+        os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", LOCAL_FINISH_EDGES_DEFAULT)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -92,9 +131,7 @@ def connected_components(
     on the distributed loop).
     """
     if local_finish_edges is None:
-        local_finish_edges = int(
-            os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", LOCAL_FINISH_EDGES_DEFAULT)
-        )
+        local_finish_edges = local_graph_gate()
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -352,6 +352,34 @@ def ext_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     are absent rather than NULL (frontier semantics; count(rows) < N is the
     coverage signal a curation pipeline reads off this table)."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
+    # Small-graph local finish (round 16, same gate as connected_components'
+    # union-find): the 15 relaxation rounds cost ~4.6 s of per-round
+    # shuffle/checkpoint overhead on the sf0.1 graph (5k nodes, 15k edges)
+    # while the identical synchronous min-relaxation over collected int64
+    # arrays is milliseconds. 3n is the exact raw edge count (three affine
+    # legs per doc); past the gate the distributed loop below runs
+    # unchanged — that loop IS the 100 TB shape.
+    from ..operators.components import bounded_min_relax_local, local_graph_gate
+
+    n = docs.count()
+    if 0 < 3 * n <= local_graph_gate():
+        import numpy as np
+        import pandas as pd
+
+        ids = docs.toPandas()["doc_id"].to_numpy("int64")
+        src = np.concatenate([ids] * 3)
+        dst = np.concatenate([(ids * a + b) % n for a, b in [(31, 7), (57, 13), (91, 3)]])
+        keep = np.isin(dst, ids)  # same pruning as the dst⋈documents join
+        seeds = ids[ids % _BFS_SEED_MOD == 0]
+        out_ids, out_dist = bounded_min_relax_local(
+            src[keep], dst[keep], seeds,
+            np.zeros(len(seeds), dtype=np.int64),
+            rounds=_BFS_ITERS, hop_weight=1,
+        )
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": out_ids, "dist": out_dist}),
+            "doc_id long, dist long",
+        )
     n_df = docs.agg(F.count(F.lit(1)).alias("cnt"))
     edges_raw = _citation_edges_raw(docs, n_df)
     edges = (
@@ -636,6 +664,33 @@ def ext_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round count is a constant: total cost is k × (join + agg) with
     flat lineage."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
+    # Small-graph local finish (round 16): identical synchronous min-label
+    # rounds over collected int64 arrays — see ext_graph_bfs_depth; the
+    # undirected edge set is ≤ 6n, so the gate check stays exact without
+    # materializing it. Distinct-ing the symmetrized multiset is unnecessary
+    # under min (idempotent), so the local twin skips it.
+    from ..operators.components import bounded_min_relax_local, local_graph_gate
+
+    n = docs.count()
+    if 0 < 6 * n <= local_graph_gate():
+        import numpy as np
+        import pandas as pd
+
+        ids = docs.toPandas()["doc_id"].to_numpy("int64")
+        src = np.concatenate([ids] * 3)
+        dst = np.concatenate([(ids * a + b) % n for a, b in [(31, 7), (57, 13), (91, 3)]])
+        keep = np.isin(dst, ids)
+        src, dst = src[keep], dst[keep]
+        out_ids, out_lab = bounded_min_relax_local(
+            np.concatenate([src, dst]),  # symmetrized: both directions
+            np.concatenate([dst, src]),
+            ids, ids.copy(),             # every node starts as its own label
+            rounds=_LPA_ITERS, hop_weight=0,
+        )
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": out_ids, "community": out_lab}),
+            "doc_id long, community long",
+        )
     n_df = docs.agg(F.count(F.lit(1)).alias("cnt"))
     edges_raw = _citation_edges_raw(docs, n_df)
     directed = edges_raw.join(

@@ -210,3 +210,20 @@ def test_graph_communities_exact_lpa_semantics(spark, sf_dir):
     )
     # the fixture graph actually merges labels (the id is not a rename)
     assert len(set(labels.values())) < n
+
+
+def test_graph_local_finish_matches_distributed(spark, sf_dir, monkeypatch):
+    """Round-16 local-finish pin for the bounded-round graph queries: under
+    the small-graph gate the driver-side synchronous min-relaxation must
+    return exactly the distributed loop's rows for BOTH ids (same reached
+    set, same depths/labels) — the two paths differ only in where the
+    arithmetic runs."""
+    from mini_project_big_data_analysis_spark.queries import all_queries
+
+    reg = all_queries()
+    for qid, key in [("ext_graph_bfs_depth", "dist"), ("ext_graph_communities", "community")]:
+        monkeypatch.delenv("SPARK_GRAFT_CC_LOCAL_EDGES", raising=False)
+        local = {r.doc_id: r[key] for r in reg[qid].fn(spark, sf_dir).collect()}
+        monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES", "0")
+        dist = {r.doc_id: r[key] for r in reg[qid].fn(spark, sf_dir).collect()}
+        assert local == dist, f"{qid}: local finish diverges from the distributed loop"
