@@ -1008,14 +1008,11 @@ def run_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hw = batch_max if hw is None else max(hw, batch_max)
             out = pdf[mask]
             if len(out):
-                yield pd.DataFrame(
-                    {
-                        "event_id": out["event_id"],
-                        "user_id": out["user_id"],
-                        "ts_s": out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
-                        "value": out["value"],
-                    }
-                )
+                # ts stays a timestamp through the sink: pandas' per-row
+                # strftime in here cost ~4 µs/row × corpus inside the
+                # narrowest (per-group) loop — the read-back formats with
+                # codegen'd date_format instead (round 16).
+                yield out[["event_id", "user_id", "ts", "value"]]
         if hw is not None:
             state.update((hw,))
 
@@ -1026,7 +1023,7 @@ def run_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     admitted = src.groupBy("user_id").applyInPandasWithState(
         admit,
-        outputStructType="event_id long, user_id long, ts_s string, value double",
+        outputStructType="event_id long, user_id long, ts timestamp, value double",
         stateStructType="hw long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -1047,7 +1044,12 @@ def run_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_and_stop(q, spark)
     return _read_sink_or_empty(
-        spark, sink, "event_id long, user_id long, ts_s string, value double"
+        spark, sink, "event_id long, user_id long, ts timestamp, value double"
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
     )
 
 
@@ -1212,14 +1214,9 @@ def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out = pdf[mask]
                 if len(out):
                     fresh.extend(int(x) for x in out["event_id"])
-                    yield pd.DataFrame(
-                        {
-                            "event_id": out["event_id"],
-                            "user_id": out["user_id"],
-                            "ts_s": out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
-                            "value": out["value"],
-                        }
-                    )
+                    # ts stays a timestamp; the read-back formats with
+                    # date_format instead of per-row pandas strftime
+                    yield out[["event_id", "user_id", "ts", "value"]]
             if fresh:
                 self._seen.appendList([(i,) for i in fresh])
 
@@ -1237,7 +1234,7 @@ def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = src.groupBy("user_id").transformWithStateInPandas(
         DedupProcessor(),
-        outputStructType="event_id long, user_id long, ts_s string, value double",
+        outputStructType="event_id long, user_id long, ts timestamp, value double",
         outputMode="append",
         timeMode="none",
     )
@@ -1258,7 +1255,12 @@ def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_and_stop(q, spark)
     return _read_sink_or_empty(
-        spark, sink, "event_id long, user_id long, ts_s string, value double"
+        spark, sink, "event_id long, user_id long, ts timestamp, value double"
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
     )
 
 
