@@ -86,10 +86,21 @@ class WeatherPollStreamReader(SimpleDataSourceStreamReader):
     past the bound ``read`` stops advancing the offset, so
     ``processAllAvailable()`` sees a caught-up stream and returns — without
     it the ever-advancing offset makes that call spin forever.
+
+    ``cycles_per_batch`` (default 1) is the per-trigger admission cap — the
+    ``maxOffsetsPerTrigger`` knob of this source. 1 replays the producer's
+    pacing (one sweep per micro-batch); a larger value lets a trigger CATCH
+    UP on everything available, which is how an unthrottled Kafka source
+    behaves when a consumer restarts behind the log. Round 16: each
+    16-row micro-batch costs a full stateful-agg commit cycle, so the
+    registered pipeline reads with catch-up batching; the paced shape
+    stays the default and keeps its multi-batch coverage in
+    stream_multibatch_agg and the source unit tests.
     """
 
     def __init__(self, options):
         self.max_cycles = int(options.get("max_cycles", 0))
+        self.cycles_per_batch = int(options.get("cycles_per_batch", 1))
 
     def initialOffset(self) -> dict:
         return {"cycle": 0}
@@ -98,8 +109,17 @@ class WeatherPollStreamReader(SimpleDataSourceStreamReader):
         cycle = start["cycle"]
         if self.max_cycles and cycle >= self.max_cycles:
             return iter([]), {"cycle": cycle}
-        rows = iter([_observe(i, cycle) for i in range(len(CITIES))])
-        return rows, {"cycle": cycle + 1}
+        end = cycle + max(1, self.cycles_per_batch)
+        if self.max_cycles:
+            end = min(end, self.max_cycles)
+        rows = iter(
+            [
+                _observe(i, c)
+                for c in range(cycle, end)
+                for i in range(len(CITIES))
+            ]
+        )
+        return rows, {"cycle": end}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         for cycle in range(start["cycle"], end["cycle"]):
@@ -125,4 +145,28 @@ class WeatherPollDataSource(DataSource):
 
 
 def register_weather_source(spark) -> None:
-    spark.dataSource.register(WeatherPollDataSource)
+    try:
+        spark.dataSource.register(WeatherPollDataSource)
+    except Exception as exc:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise
+        # Spark 4.1 inconsistency around newSession(): the registration
+        # API's existence check sees a name registered by a SIBLING
+        # session, but this session's own DataSourceManager (which the
+        # analyzer consults at load()) does not have it. When that is the
+        # case, register straight into this session's manager — the same
+        # UserDefinedPythonDataSource the public API would have built.
+        mgr = spark._jsparkSession.sessionState().dataSourceManager()
+        name = WeatherPollDataSource.name()
+        if mgr.dataSourceExists(name):
+            return  # genuinely registered here — same class, no-op
+        from pyspark.sql.udf import _wrap_function
+
+        sc = spark.sparkContext
+        wrapped = _wrap_function(sc, WeatherPollDataSource)
+        ds = getattr(
+            sc._jvm,
+            "org.apache.spark.sql.execution.datasources.v2.python."
+            "UserDefinedPythonDataSource",
+        )(wrapped)
+        mgr.registerDataSource(name, ds)

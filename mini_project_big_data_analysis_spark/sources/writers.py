@@ -229,31 +229,50 @@ class ParquetBucketStore(KeyedTableStore):
         return self._scan().filter(F.col("__bucket").isin(bucket_ids))
 
     def overwrite_buckets(self, merged: DataFrame) -> None:
-        # Stage the merged buckets before overwriting the directory they
-        # were read from (Spark refuses an in-place read+overwrite; a
-        # transactional table format stages via its log — this models that).
-        merged = merged.localCheckpoint(eager=True)
-        # Sidecar FIRST: dynamic partitionOverwriteMode replaces only the
-        # touched __bucket directories and never deletes root files, so
-        # writing the (possibly evolved) schema before the data commit means
-        # there is no window where the table is sidecar-less — a crash
-        # mid-write leaves the new schema over partially-old data, which
-        # still scans (parquet fills absent columns with NULL). Writing it
-        # AFTER left a data-committed/old-schema window as long as the
-        # parquet job (ADVICE r9). The flip side (ADVICE r10): a CONCURRENT
-        # reader during the parquet job applies the evolved schema to
-        # pre-overwrite data — an added column reads all-NULL, a type change
-        # can fail its scan. Like the non-transactional parquet layout
-        # generally, this store assumes single-writer / no-concurrent-reader
-        # during overwrite_buckets; both crash-consistency choices favor the
+        # Stage the merged buckets in a SIBLING directory, then swap each
+        # touched __bucket dir into place with filesystem renames (a
+        # transactional table format stages via its log — this models
+        # that). Because the stage target is a different directory, the
+        # merged plan can read the live bucket dirs while writing — the
+        # round-15 shape routed around Spark's in-place read+overwrite
+        # refusal with an eager localCheckpoint instead, which materialized
+        # every merged row TWICE (checkpoint blocks, then the write) and
+        # was one whole extra pass per MERGE (round-16 measurement:
+        # snk_upsert_write runs three upserts, each paying it).
+        # Sidecar FIRST: the rename swap replaces only the touched __bucket
+        # directories and never deletes root files, so writing the
+        # (possibly evolved) schema before the data commit means there is
+        # no window where the table is sidecar-less — a crash mid-swap
+        # leaves the new schema over partially-old data, which still scans
+        # (parquet fills absent columns with NULL). Writing it AFTER left a
+        # data-committed/old-schema window as long as the parquet job
+        # (ADVICE r9). The flip side (ADVICE r10): a CONCURRENT reader
+        # during the swap applies the evolved schema to pre-overwrite data
+        # — an added column reads all-NULL, a type change can fail its
+        # scan. Like the non-transactional parquet layout generally, this
+        # store assumes single-writer / no-concurrent-reader during
+        # overwrite_buckets; both crash-consistency choices favor the
         # recovery path, not live concurrency.
         self._write_schema_sidecar(merged)
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__bucket")
-            .parquet(self.path)
-        )
+        staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
+        merged.write.partitionBy("__bucket").parquet(staging)
+        jvm, hroot, fs = self._fs()
+        spath = jvm.org.apache.hadoop.fs.Path(staging)
+        try:
+            for st in fs.listStatus(spath):
+                name = st.getPath().getName()
+                if not name.startswith("__bucket="):
+                    continue  # _SUCCESS etc. stay in staging
+                dst = jvm.org.apache.hadoop.fs.Path(hroot, name)
+                if fs.exists(dst):
+                    fs.delete(dst, True)
+                if not fs.rename(st.getPath(), dst):
+                    raise IOError(
+                        f"failed to swap bucket dir {st.getPath()} -> {dst}; "
+                        "the table may hold a partially-swapped MERGE"
+                    )
+        finally:
+            fs.delete(spath, True)
 
     def read_all(self) -> DataFrame:
         return self._scan().drop("__bucket")
