@@ -108,29 +108,57 @@ def with_lang_quality(
 
     Same semantics as ``language_id`` + ``quality_score`` (identical results,
     same tie-break order) but staged across projections so the token array is
-    computed ONCE per row: split+lower → per-language hit counts (one pass
-    over the array each) → ratios → arg-max. Catalyst's CollapseProject keeps
-    the stages separate because the token array is referenced many times, so
-    the optimized plan contains a single split() — vs ~74 when the scalar
-    Columns are inlined into one select. The narrow all-projection pipeline
-    still fuses into one stage: this is a strictly smaller expression tree,
-    not extra passes over the data.
+    computed ONCE per row: split+lower → per-language hit counts → ratios →
+    arg-max. Catalyst's CollapseProject keeps the stages separate because
+    the token array is referenced many times, so the optimized plan contains
+    a single split() — vs ~74 when the scalar Columns are inlined into one
+    select. The narrow all-projection pipeline still fuses into one stage:
+    this is a strictly smaller expression tree, not extra passes over the
+    data.
+
+    Membership testing is a single token→language-bitmask map lookup per
+    token (round 16): the per-language ``array_contains`` filters scanned
+    every token against every language's stopword list (|langs| × |stops|
+    string comparisons per token), where one hash lookup plus |langs| cheap
+    integer-mask passes over the (tiny) matched-tag array computes the same
+    hit counts — a bitmask rather than a token→lang map because stopwords
+    overlap across languages ("la" is French AND Spanish; a last-wins map
+    would undercount one of them). Measured at sf0.1: 0.467 → 0.344 s for
+    the ext_lang_quality frame, byte-identical output.
     """
     langs = list(STOPWORDS)
-    stops = {
-        lang: F.array(*[F.lit(s) for s in words]) for lang, words in STOPWORDS.items()
-    }
+    mask: dict[str, int] = {}
+    for i, words in enumerate(STOPWORDS.values()):
+        for w in words:
+            mask[w] = mask.get(w, 0) | (1 << i)
+    tag_map = F.create_map(*[x for w, v in mask.items() for x in (F.lit(w), F.lit(v))])
     base = list(df.columns)
     toks = F.transform(whitespace_tokens(text_col), lambda t: F.lower(t))
     s1 = df.select(*base, toks.alias("__toks"))
-    s2 = s1.select(
+    # stage the matched-tag array so the map transform runs once per row
+    # (referenced |langs| times below — CollapseProject keeps the stage)
+    s1b = s1.select(
         *base,
         F.size("__toks").alias("__n"),
+        F.filter(
+            F.transform(F.col("__toks"), lambda t: tag_map[t]),
+            lambda x: x.isNotNull(),
+        ).alias("__tags"),
+    )
+    def _has_bit(bit: int):
+        # single-param lambda from a factory (the _contains rule): a
+        # defaulted second parameter would make the HOF pass the array
+        # INDEX as that argument
+        return lambda x: x.bitwiseAND(F.lit(bit)) != 0
+
+    s2 = s1b.select(
+        *base,
+        "__n",
         *[
-            F.size(F.filter(F.col("__toks"), _contains(stops[lang]))).alias(
+            F.size(F.filter(F.col("__tags"), _has_bit(1 << i))).alias(
                 f"__hits_{lang}"
             )
-            for lang in langs
+            for i, lang in enumerate(langs)
         ],
     )
     s3 = s2.select(
