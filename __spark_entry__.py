@@ -29,86 +29,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def coverage_rotation() -> list[str]:
-    """Driver correctness-coverage rotation for THIS round (round 16).
+    """Driver correctness-coverage rotation for THIS round (round 17).
 
     The external driver hash-checks exactly the first 50 ids of ``queries()``
     iteration order each round, so with 244+ registered ids only a rotating
     window gets hard driver-recorded rows per round. This hook — separate
     from the public ``all_queries()`` registration order, which it does NOT
     affect — declares the round's window explicitly, executing the plan
-    pre-written in COVERAGE_ROTATION.md at the end of round 15, plus the
-    standing debut policy (any id registered this round, never
-    driver-checked, heads the window and pushes the tail into round 17):
+    pre-written in COVERAGE_ROTATION.md at the end of round 16, plus one
+    policy extension this round:
 
-    0. The round-16 debut ``stream_tws_dedup`` (the
-       transformWithStateInPandas dedup, registered this round after the
-       protobuf mini runtime un-gated the API; zero driver rows).
-    1. The 44 remaining round-11-stale ids, alphabetical (headed by
-       ``ext_ab_srm_check``, displaced from round 15 by that round's
-       ``sql_cbo_broadcast`` debut).
-    2. The alphabetically-first round-12-stale ids to fill to 50
-       (``agg_group_avg`` is pushed to round 17 by the debut).
+    0. ``stream_tws_dedup`` repeats at the head: it FAILED its round-16
+       driver check (protobuf unreachable from the driver's own
+       SparkSession — VERDICT r16 item 1) and a failed window id repeats
+       until its fix earns a green driver row. Its slot pushes
+       ``ext_benford_audit`` into round 18.
+    1. The 45 remaining round-12-stale ids, alphabetical.
+    2. The alphabetically-first round-13-stale strong-check ids to fill
+       to 50.
 
-    See COVERAGE_ROTATION.md's round-17 plan for the pre-written next
+    See COVERAGE_ROTATION.md's round-18 plan for the pre-written next
     window.
     """
     registry_ids = set(all_queries())
-    debut = [qid for qid in ("stream_tws_dedup",) if qid in registry_ids]
-    round11_stalest = [
-        "ext_ab_srm_check",
-        "ext_anomaly_mad",
-        "ext_autocorr",
-        "ext_burst_detect",
-        "ext_compaction_bins",
-        "ext_dedup_containment",
-        "ext_dq_rules",
-        "ext_funnel_steps",
-        "ext_heavy_hitters",
-        "ext_json_props",
-        "ext_lang_quality",
-        "ext_link_pagerank",
-        "ext_multimodal_phash_dedup",
-        "ext_perplexity_buckets",
-        "ext_pii_scrub",
-        "ext_pmi_collocations",
-        "ext_retention_cohorts",
-        "ext_sample_stratified",
-        "ext_split_hash",
-        "ext_text_stats",
-        "ext_token_pack",
-        "ext_token_regex_count",
-        "ext_vocab_topk",
-        "ext_zorder_cluster",
-        "join_asof",
-        "join_interval_overlap",
-        "join_range_band",
-        "join_salted_skew",
-        "setop_except",
-        "snk_upsert_write",
-        "sql_recursive_cte",
-        "sql_tpch_q1",
-        "sql_tpch_q3",
-        "sql_tpch_q5",
-        "sql_tpch_q6",
-        "src_csv_roundtrip",
-        "src_jdbc_scan",
-        "src_kafka_segment",
-        "src_schema_evolution",
-        "stream_late_filter",
-        "window_lag_delta",
-        "window_latest_per_key",
-        "window_ntile",
-        "window_rolling_avg",
-    ]
+    retry = [qid for qid in ("stream_tws_dedup",) if qid in registry_ids]
     round12_stalest = [
-        "agg_corr_stats",
-        "agg_count",
-        "agg_describe",
-        "agg_distinct_sorted",
-        "agg_global_stats",
         "agg_group_avg",
+        "agg_grouping_sets",
+        "agg_hll_distinct",
+        "agg_min_max",
+        "agg_mode",
+        "agg_pivot",
+        "agg_time_window",
+        "agg_value_counts",
+        "ext_ewma_smooth",
+        "ext_gini_concentration",
+        "ext_incremental_view",
+        "ext_ks_test",
+        "ext_markov_transitions",
+        "ext_multimodal_framesample",
+        "ext_multimodal_resize",
+        "ext_ngram_novelty",
+        "ext_sample_exact_k",
+        "ext_sequence_match",
+        "ext_skyline_pareto",
+        "ext_span_dedup",
+        "ext_time_gapfill",
+        "ext_token_drift",
+        "ext_triangle_count",
+        "ext_vector_quantize",
+        "ext_winsorize",
+        "fn_array_hof",
+        "fn_collation_group",
+        "fn_mapinarrow_norms",
+        "fn_udtf_sentences",
+        "fn_variant_json",
+        "join_null_safe",
+        "join_skew_salt",
+        "setop_intersect_all",
+        "sql_groupby_all",
+        "sql_lateral_view",
+        "sql_pivot",
+        "src_footer_stats",
+        "src_xml_roundtrip",
+        "stream_foreachbatch_upsert",
+        "stream_session_agg",
+        "stream_sliding_agg",
+        "stream_tumbling_agg",
+        "window_rolling_corr",
+        "window_running_distinct",
+        "window_topk_per_group",
     ]
-    window = debut + round11_stalest + round12_stalest
+    round13_stalest = [
+        "agg_cached_dashboard",
+        "agg_udaf_geomean",
+        "ext_ab_power",
+        "ext_basket_lift",
+        "ext_benford_audit",
+    ]
+    window = retry + round12_stalest + round13_stalest
     return window[:50]
 
 

@@ -165,6 +165,13 @@ _PR_DAMP = 0.85
 # doc count keeps targets in-range when ids are dense; when they are not,
 # the inner join against real ids drops dangling edges IDENTICALLY in both
 # engines, so the graphs — and the ranks — still agree exactly.
+#: The affine citation-edge legs (a, b) of dst = (src*a + b) mod n —
+#: ONE definition shared by the Spark edge builder, every DuckDB oracle
+#: string, and both numpy local-finish twins (ADVICE r16: the constants
+#: were spelled out in four places; editing one silently broke
+#: local/distributed equivalence).
+_EDGE_LEGS = [(31, 7), (57, 13), (91, 3)]
+
 _PR_EDGES_SQL = """
     SELECT d.doc_id AS src, ((d.doc_id * {a} + {b}) % n.cnt) AS dst
     FROM documents d CROSS JOIN (SELECT count(*) AS cnt FROM documents) n
@@ -185,7 +192,7 @@ def _citation_edges_raw(docs, n_df):
     observes: every downstream op is a distinct/groupBy/join. The DuckDB
     oracles keep the UNION ALL spelling — same multiset."""
     legs = [
-        ((F.col("doc_id") * a + b) % F.col("cnt")) for a, b in [(31, 7), (57, 13), (91, 3)]
+        ((F.col("doc_id") * a + b) % F.col("cnt")) for a, b in _EDGE_LEGS
     ]
     return docs.join(F.broadcast(n_df)).select(
         F.col("doc_id").alias("src"),
@@ -195,7 +202,7 @@ def _citation_edges_raw(docs, n_df):
 
 def _pr_oracle() -> str:
     edges = " UNION ALL ".join(
-        _PR_EDGES_SQL.format(a=a, b=b) for a, b in [(31, 7), (57, 13), (91, 3)]
+        _PR_EDGES_SQL.format(a=a, b=b) for a, b in _EDGE_LEGS
     )
     sql = f"""
 WITH edges_raw AS ({edges}),
@@ -296,7 +303,7 @@ _BFS_SEED_MOD = 97
 
 def _bfs_oracle() -> str:
     edges = " UNION ALL ".join(
-        _PR_EDGES_SQL.format(a=a, b=b) for a, b in [(31, 7), (57, 13), (91, 3)]
+        _PR_EDGES_SQL.format(a=a, b=b) for a, b in _EDGE_LEGS
     )
     # AS MATERIALIZED is load-bearing: each d{{i}} references its
     # predecessor TWICE (kept rows ∪ relaxed rows), so letting DuckDB
@@ -368,7 +375,7 @@ def ext_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         ids = docs.toPandas()["doc_id"].to_numpy("int64")
         src = np.concatenate([ids] * 3)
-        dst = np.concatenate([(ids * a + b) % n for a, b in [(31, 7), (57, 13), (91, 3)]])
+        dst = np.concatenate([(ids * a + b) % n for a, b in _EDGE_LEGS])
         keep = np.isin(dst, ids)  # same pruning as the dst⋈documents join
         seeds = ids[ids % _BFS_SEED_MOD == 0]
         out_ids, out_dist = bounded_min_relax_local(
@@ -417,7 +424,7 @@ def ext_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tri_oracle() -> str:
     edges = " UNION ALL ".join(
-        _PR_EDGES_SQL.format(a=a, b=b) for a, b in [(31, 7), (57, 13), (91, 3)]
+        _PR_EDGES_SQL.format(a=a, b=b) for a, b in _EDGE_LEGS
     )
     return f"""
 WITH edges_raw AS ({edges}),
@@ -491,7 +498,7 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _degree_oracle() -> str:
     edges = " UNION ALL ".join(
-        _PR_EDGES_SQL.format(a=a, b=b) for a, b in [(31, 7), (57, 13), (91, 3)]
+        _PR_EDGES_SQL.format(a=a, b=b) for a, b in _EDGE_LEGS
     )
     return f"""
 WITH edges_raw AS ({edges}),
@@ -601,7 +608,7 @@ _LPA_CKPT_EVERY = 4
 
 def _lpa_oracle() -> str:
     edges = " UNION ALL ".join(
-        _PR_EDGES_SQL.format(a=a, b=b) for a, b in [(31, 7), (57, 13), (91, 3)]
+        _PR_EDGES_SQL.format(a=a, b=b) for a, b in _EDGE_LEGS
     )
     # Same AS MATERIALIZED discipline as _bfs_oracle: every l{i} references
     # its predecessor twice (kept labels ∪ propagated labels), so an
@@ -678,7 +685,7 @@ def ext_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         ids = docs.toPandas()["doc_id"].to_numpy("int64")
         src = np.concatenate([ids] * 3)
-        dst = np.concatenate([(ids * a + b) % n for a, b in [(31, 7), (57, 13), (91, 3)]])
+        dst = np.concatenate([(ids * a + b) % n for a, b in _EDGE_LEGS])
         keep = np.isin(dst, ids)
         src, dst = src[keep], dst[keep]
         out_ids, out_lab = bounded_min_relax_local(

@@ -156,17 +156,28 @@ def register_weather_source(spark) -> None:
         # analyzer consults at load()) does not have it. When that is the
         # case, register straight into this session's manager — the same
         # UserDefinedPythonDataSource the public API would have built.
-        mgr = spark._jsparkSession.sessionState().dataSourceManager()
-        name = WeatherPollDataSource.name()
-        if mgr.dataSourceExists(name):
-            return  # genuinely registered here — same class, no-op
-        from pyspark.sql.udf import _wrap_function
+        # Everything below touches pyspark/Spark internals that can move
+        # between minor versions (ADVICE r16): if any is missing, re-raise
+        # the ORIGINAL registration error with context instead of an
+        # AttributeError from deep inside the workaround.
+        try:
+            mgr = spark._jsparkSession.sessionState().dataSourceManager()
+            name = WeatherPollDataSource.name()
+            if mgr.dataSourceExists(name):
+                return  # genuinely registered here — same class, no-op
+            from pyspark.sql.udf import _wrap_function
 
-        sc = spark.sparkContext
-        wrapped = _wrap_function(sc, WeatherPollDataSource)
-        ds = getattr(
-            sc._jvm,
-            "org.apache.spark.sql.execution.datasources.v2.python."
-            "UserDefinedPythonDataSource",
-        )(wrapped)
-        mgr.registerDataSource(name, ds)
+            sc = spark.sparkContext
+            wrapped = _wrap_function(sc, WeatherPollDataSource)
+            ds = getattr(
+                sc._jvm,
+                "org.apache.spark.sql.execution.datasources.v2.python."
+                "UserDefinedPythonDataSource",
+            )(wrapped)
+            mgr.registerDataSource(name, ds)
+        except Exception as inner:
+            raise RuntimeError(
+                "weather_poll registration failed and the sibling-session "
+                "workaround could not run (pyspark internals moved?): "
+                f"{type(inner).__name__}: {inner}"
+            ) from exc

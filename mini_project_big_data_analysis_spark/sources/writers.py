@@ -258,21 +258,31 @@ class ParquetBucketStore(KeyedTableStore):
         merged.write.partitionBy("__bucket").parquet(staging)
         jvm, hroot, fs = self._fs()
         spath = jvm.org.apache.hadoop.fs.Path(staging)
-        try:
-            for st in fs.listStatus(spath):
-                name = st.getPath().getName()
-                if not name.startswith("__bucket="):
-                    continue  # _SUCCESS etc. stay in staging
-                dst = jvm.org.apache.hadoop.fs.Path(hroot, name)
-                if fs.exists(dst):
-                    fs.delete(dst, True)
-                if not fs.rename(st.getPath(), dst):
-                    raise IOError(
-                        f"failed to swap bucket dir {st.getPath()} -> {dst}; "
-                        "the table may hold a partially-swapped MERGE"
-                    )
-        finally:
-            fs.delete(spath, True)
+        # Failure policy (ADVICE r16, medium): staging is deleted ONLY after
+        # every touched bucket swapped cleanly. The previous finally-delete
+        # destroyed the staged copy on a mid-loop rename failure — and the
+        # live dir was already deleted, so the bucket's merged data had NO
+        # surviving copy. Now a failed swap keeps staging and names it in
+        # the error for manual recovery (rename the staged __bucket= dirs
+        # into place). Crash window, stated precisely: between delete(dst)
+        # and rename, that bucket directory is MISSING entirely — a reader
+        # sees zero rows for it, not stale rows; the staged dir is the
+        # recovery source either way.
+        for st in fs.listStatus(spath):
+            name = st.getPath().getName()
+            if not name.startswith("__bucket="):
+                continue  # _SUCCESS etc. stay in staging
+            dst = jvm.org.apache.hadoop.fs.Path(hroot, name)
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if not fs.rename(st.getPath(), dst):
+                raise IOError(
+                    f"failed to swap bucket dir {st.getPath()} -> {dst}; "
+                    "the table may hold a partially-swapped MERGE (this "
+                    f"bucket is currently missing); staged data kept at "
+                    f"{staging} for manual recovery"
+                )
+        fs.delete(spath, True)
 
     def read_all(self) -> DataFrame:
         return self._scan().drop("__bucket")

@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -157,17 +158,39 @@ def _stream_session(
         e = it.next()
         try:
             child.conf.set(e._1(), e._2())
-        except Exception:  # static conf — keeps its builder-level value
-            pass
+        except Exception as exc:
+            # Only a STATIC conf may be skipped (it keeps its builder-level
+            # value, which the child inherits anyway). Anything else means
+            # the child would silently diverge from the parent in more than
+            # the one intended key (ADVICE r16) — propagate it.
+            msg = f"{type(exc).__name__}: {exc}"
+            if (
+                "CANNOT_MODIFY_CONFIG" not in msg
+                and "Cannot modify the value" not in msg
+            ):
+                raise
     child.conf.set("spark.sql.shuffle.partitions", str(n))
     return child
 
 
 def _events_bytes(sf_dir: str) -> int:
-    """Size of the events source file — the input-volume estimate the
-    state-partition derivation uses (0 when absent: floor applies)."""
+    """Size of the events source — the input-volume estimate the
+    state-partition derivation uses (0 when absent: floor applies).
+
+    ``events.parquet`` may be a single file (the test fixtures) or a
+    directory of part files (standard Spark output at scale); getsize on a
+    directory returns the inode size (~4 KiB), which would silently pin the
+    floor partition count at any scale (ADVICE r16) — so directories are
+    summed file-by-file."""
+    path = os.path.join(sf_dir, "events.parquet")
     try:
-        return os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+            )
+        return os.path.getsize(path)
     except OSError:
         return 0
 
@@ -1170,15 +1193,22 @@ def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dropDuplicates compiles to the same keyed-state shape); the explicit
     processor is the template for policies dropDuplicates can't express
     (TTLs, dedup-by-similarity, audit side-outputs).
+
+    protobuf reachability (round 17): the TWS state server needs
+    ``google.protobuf`` in the JVM-forked Python workers.
+    ``provision_protobuf_for_session`` covers both session origins — env
+    export pre-JVM (get_spark) and ``sc.environment`` envVars merge for an
+    externally built session (the round-16 driver harness crashed here:
+    its JVM never saw the vendor dir). If the workers still cannot import
+    it, the query falls back to Spark's own streaming dedup
+    (``dropDuplicates`` — the keyed-state shape this processor generalizes)
+    over the same arrival fixtures: identical exactly-once result, gated
+    instead of crashed.
     """
-    import pandas as pd
-
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
     from ..sources.readers import read_table
+    from ..vendor import provision_protobuf_for_session
+
+    protobuf_ok = provision_protobuf_for_session(spark)
 
     spark = _stream_session(
         spark, _events_bytes(sf_dir), floor=STREAM_FLOOR_PYTHON_STATE
@@ -1196,6 +1226,33 @@ def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch 2 = the at-least-once replay (every tenth event redelivered)
     _write_arrival_files(
         spark, base, indir, [ev, ev.filter(F.col("event_id") % 10 == 0)]
+    )
+
+    if protobuf_ok:
+        try:
+            return _tws_dedup_state_api(spark, ev, base, indir)
+        except Exception as exc:  # gated fallback, not a crash (VERDICT r16)
+            if "TransformWithStateInPySpark" not in f"{type(exc).__name__}: {exc}":
+                raise
+            warnings.warn(
+                "transformWithStateInPandas state-server workers could not "
+                "run (google.protobuf unreachable in the worker env); "
+                "falling back to streaming dropDuplicates — same "
+                "exactly-once result",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    return _tws_dedup_fallback(spark, ev, base, indir)
+
+
+def _tws_dedup_state_api(
+    spark: SparkSession, ev: DataFrame, base: str, indir: str
+) -> DataFrame:
+    import pandas as pd  # noqa: F401 - the processor's frames are pandas
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
     )
 
     class DedupProcessor(StatefulProcessor):
@@ -1251,6 +1308,46 @@ def run_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.writeStream.foreachBatch(write_batch)
         .outputMode("append")
         .option("checkpointLocation", os.path.join(base, "ck"))
+        .start()
+    )
+    _drain_and_stop(q, spark)
+    return _read_sink_or_empty(
+        spark, sink, "event_id long, user_id long, ts timestamp, value double"
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
+    )
+
+
+def _tws_dedup_fallback(
+    spark: SparkSession, ev: DataFrame, base: str, indir: str
+) -> DataFrame:
+    """Gated path when the TWS state server cannot run: Spark's own
+    streaming ``dropDuplicates`` over the SAME arrival fixtures. event_id is
+    globally unique, so per-stream dedup on it equals the per-user ListState
+    dedup exactly (same exactly-once contract, same rows). Fresh sink +
+    checkpoint dirs — the TWS attempt may have part-committed its own."""
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    deduped = src.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    sink = os.path.join(base, "sink_fb")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch_id={batch_id}")
+        )
+
+    q = (
+        deduped.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ck_fb"))
         .start()
     )
     _drain_and_stop(q, spark)
