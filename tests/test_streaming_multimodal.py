@@ -157,6 +157,24 @@ def test_weather_poll_batch_plans_one_partition_per_city(spark):
     assert df.count() == len(CITIES) * 2
 
 
+def test_weather_poll_registers_in_sibling_session(spark):
+    """Exercises the DATA_SOURCE_ALREADY_EXISTS fallback (ADVICE r16): a
+    newSession() sibling whose own DataSourceManager lacks the source must
+    still be able to register and load it — and a pyspark upgrade that
+    moves the internals this fallback uses must fail THIS test loudly,
+    not a production run."""
+    from mini_project_big_data_analysis_spark.sources.weather_source import (
+        CITIES,
+        register_weather_source,
+    )
+
+    register_weather_source(spark)  # parent: public API path
+    child = spark.newSession()
+    register_weather_source(child)  # sibling: fallback path
+    df = child.read.format("weather_poll").option("cycles", 1).load()
+    assert df.count() == len(CITIES)
+
+
 def test_stream_restarts_from_checkpoint_exactly_once(spark, tmp_path):
     """Stop → new data → restart with the SAME checkpoint: the resumed
     query must process only the new file (offsets recovered) and the
