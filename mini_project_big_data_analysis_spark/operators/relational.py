@@ -497,31 +497,42 @@ def edit_distance_pairs(
         " i -> concat(substring(__s, 1, i - 1), substring(__s, i + 1, __len)))),"
         " k -> named_struct('kind', 'd', 'key', k))"
     )
+    # The candidate join is keyed on xxhash64(kind, key) — one int64 —
+    # instead of the (kind, key) strings (round 17, guide §2.3 "narrower
+    # types"): the key strings are ~⅓ of every shuffled row and the join
+    # comparison cost. EXACTNESS IS PRESERVED BY THE EXISTING DESIGN, not
+    # by the hash: every candidate is verified with codegen'd levenshtein
+    # and deduped on (a_rep, b_rep), so a 64-bit collision can only create
+    # a false CANDIDATE that verification drops (or a true pair already
+    # found via its true key, which dropDuplicates collapses) — "key
+    # collisions cost time, never correctness" is this operator's stated
+    # contract. block_cols and __len stay as real join columns: they are
+    # NOT re-verified downstream, so they must never ride the hash.
     keyed = vals.select(
         *block_cols,
         "__len",
         "__s",
         "rep",
         F.explode(F.concat(ham_keys, del_keys)).alias("k"),
-    ).select(*block_cols, "__len", "__s", "rep", "k.kind", "k.key")
+    ).select(
+        *block_cols, "__len", "__s", "rep", F.xxhash64("k.kind", "k.key").alias("hk")
+    )
     a = keyed.select(
         *block_cols,
         "__len",
-        "kind",
-        "key",
+        "hk",
         F.col("rep").alias("a_rep"),
         F.col("__s").alias("a_s"),
     )
     b = keyed.select(
         *block_cols,
         "__len",
-        "kind",
-        "key",
+        "hk",
         F.col("rep").alias("b_rep"),
         F.col("__s").alias("b_s"),
     )
     val_pairs = (
-        a.join(b, [*block_cols, "__len", "kind", "key"])
+        a.join(b, [*block_cols, "__len", "hk"])
         .filter(F.col("a_rep") < F.col("b_rep"))
         .dropDuplicates(["a_rep", "b_rep"])
         .withColumn("dist", F.levenshtein("a_s", "b_s").cast("long"))

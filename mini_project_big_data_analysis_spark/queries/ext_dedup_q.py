@@ -531,7 +531,13 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
     )
     a = grams.select("doc_id", "g").join(rare, "g")
-    b = grams.select(F.col("doc_id").alias("doc_id_b"), "g")
+    # The b side reuses the RARE-FILTERED relation (round 17): joining the
+    # unfiltered gram table was result-identical — the equi-join with `a`
+    # already restricts b's grams to rare ones — but shuffled every
+    # boilerplate gram (df > 20) on the b side for nothing; self-joining
+    # the filtered relation drops those bytes from the exchange and lets
+    # the engine reuse one exchange for both sides.
+    b = a.select(F.col("doc_id").alias("doc_id_b"), "g")
     pairs = (
         a.join(b, "g")
         .filter(F.col("doc_id") <= F.col("doc_id_b"))  # == is the intra row

@@ -574,6 +574,12 @@ def ext_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
     ).distinct()
+    # Round-17 measured-and-reverted: folding this count into the plan as a
+    # broadcast 1-row subtree (the ext_psi_stability treatment) did NOT
+    # drop the job count here (AQE spends a broadcast-preparation job on
+    # the subtree; 11 jobs either way) and the interleaved A/B read flat
+    # (median 1.300 vs 1.379 s at sf0.1) — the count over the already-
+    # collapsed basket table is too cheap for the fusion to pay.
     nb = baskets.select("user_id", "day").distinct().count()
     singles = baskets.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n")

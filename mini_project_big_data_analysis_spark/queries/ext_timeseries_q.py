@@ -860,24 +860,35 @@ def ext_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.lit(10)
     for i in range(9, 0, -1):
         bucket = F.when(F.col("value") < F.col(f"c{i}"), i).otherwise(bucket)
-    n_ref = ref.count()
-    n_cur = cur.count()
+    # Period totals as a broadcast 1-row subtree instead of two driver-side
+    # .count() jobs (round 17, guide §2.6/§5): the counts were two extra
+    # serialized jobs per run; as a plan subtree they run inside the one
+    # timed job. Division moves after the agg — double / long coerces
+    # exactly like the previous double / Python-int literal.
+    tot = ev.agg(
+        F.sum(F.when(F.col("ts") < cut_ts, 1).otherwise(0)).alias("__n_ref"),
+        F.sum(F.when(F.col("ts") >= cut_ts, 1).otherwise(0)).alias("__n_cur"),
+    )
     shares = (
         u.join(F.broadcast(cuts))
         .select("period", bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(
+            F.sum(F.when(F.col("period") == "ref", 1).otherwise(0))
+            .cast("double")
+            .alias("__s_ref"),
+            F.sum(F.when(F.col("period") == "cur", 1).otherwise(0))
+            .cast("double")
+            .alias("__s_cur"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
             F.greatest(
-                F.sum(F.when(F.col("period") == "ref", 1).otherwise(0))
-                .cast("double")
-                / n_ref,
-                F.lit(_PSI_EPS),
+                F.col("__s_ref") / F.col("__n_ref"), F.lit(_PSI_EPS)
             ).alias("p"),
             F.greatest(
-                F.sum(F.when(F.col("period") == "cur", 1).otherwise(0))
-                .cast("double")
-                / n_cur,
-                F.lit(_PSI_EPS),
+                F.col("__s_cur") / F.col("__n_cur"), F.lit(_PSI_EPS)
             ).alias("q"),
         )
     )

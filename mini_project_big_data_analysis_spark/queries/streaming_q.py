@@ -282,11 +282,19 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_multibatch_agg",
+    # avg via exact decimal summation (VERDICT r16 item 6 — the sf1
+    # last-ulp knife-edge): ::VARCHAR routes reproduce Spark's semantics in
+    # DuckDB — double::VARCHAR is the shortest decimal repr (= Spark's
+    # double→decimal cast input), and DECIMAL::VARCHAR::DOUBLE gives the
+    # correctly-rounded double (DuckDB's direct DECIMAL(38,18)::DOUBLE cast
+    # is off by an ulp: 14752.1 → 14752.099999999999); the final round runs
+    # HALF_UP in decimal space exactly like Spark's round(double, 6).
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events,
-           round(avg(value), 6) AS avg_value
+           round((((sum(value::VARCHAR::DECIMAL(38,18))::VARCHAR::DOUBLE)
+                   / count(*))::VARCHAR)::DECIMAL(38,18), 6)::DOUBLE AS avg_value
     FROM events
     WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
     GROUP BY 1, 2
